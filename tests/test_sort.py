@@ -1,0 +1,125 @@
+"""End-to-end sort tests: full pipeline vs NumPy, all distributions, dtypes,
+dynamic counts, stability — the reference's correctness gate
+(bench/bench.cc:41-64) broadened per SURVEY.md §4."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import vulkan_radix_sort_tpu as vrs
+from vulkan_radix_sort_tpu.config import SortConfig
+from vulkan_radix_sort_tpu.ops import radix
+from vulkan_radix_sort_tpu.utils import datagen
+
+CFG = SortConfig(block=1024, flush_rows=4, interpret=True, backend="pallas")
+
+
+@pytest.mark.parametrize("dist", list(datagen.DISTRIBUTIONS))
+def test_pallas_sort_keys_all_distributions(dist):
+    n = 1 << 15
+    keys = datagen.generate_keys(n, seed=7, distribution=dist)
+    got = np.asarray(radix.sort_u32(jnp.asarray(keys), config=CFG))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+@pytest.mark.parametrize("dist", ["uniform", "few", "constant"])
+def test_pallas_sort_pairs_stable(dist):
+    n = 1 << 15
+    keys = datagen.generate_keys(n, seed=8, distribution=dist)
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = radix.sort_pairs_u32(jnp.asarray(keys), jnp.asarray(vals), config=CFG)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_non_block_multiple_and_small_sizes(rng):
+    for n in (1, 5, 127, 128, 1000, (1 << 14) + 3, 3 * 1024 + 17):
+        keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+        got = np.asarray(radix.sort_u32(jnp.asarray(keys), config=CFG))
+        np.testing.assert_array_equal(got, np.sort(keys), err_msg=f"n={n}")
+
+
+def test_sentinel_keys_sort_correctly(rng):
+    """Genuine 0xffffffff keys must survive the sentinel-padding trick."""
+    n = 5000
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    keys[:: 7] = 0xFFFFFFFF
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = radix.sort_pairs_u32(jnp.asarray(keys), jnp.asarray(vals), config=CFG)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+class TestSorterAPI:
+    def test_sort_keys(self, rng):
+        n = 4096
+        keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+        s = vrs.create_sorter(n, backend="xla")
+        got = np.asarray(s.sort(jnp.asarray(keys)))
+        np.testing.assert_array_equal(got, np.sort(keys))
+
+    def test_indirect_count_leaves_tail(self, rng):
+        """The reference's indirect path: sort first `count`, tail untouched
+        (h.in:321-331; masked writes downsweep.slang:199)."""
+        n, m = 4096, 1000
+        keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+        s = vrs.create_sorter(n, backend="xla")
+        got = np.asarray(s.sort(jnp.asarray(keys), count=m))
+        np.testing.assert_array_equal(got[:m], np.sort(keys[:m]))
+        np.testing.assert_array_equal(got[m:], keys[m:])
+
+    def test_indirect_kv(self, rng):
+        n, m = 4096, 3000
+        keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+        vals = np.arange(n, dtype=np.uint32)
+        s = vrs.create_sorter(n, backend="xla")
+        k, v = s.sort_key_value(jnp.asarray(keys), jnp.asarray(vals), count=m)
+        order = np.argsort(keys[:m], kind="stable")
+        np.testing.assert_array_equal(np.asarray(k)[:m], keys[:m][order])
+        np.testing.assert_array_equal(np.asarray(v)[:m], vals[:m][order])
+        np.testing.assert_array_equal(np.asarray(k)[m:], keys[m:])
+        np.testing.assert_array_equal(np.asarray(v)[m:], vals[m:])
+
+    @pytest.mark.parametrize("dtype", [np.int32, np.float32])
+    def test_key_dtype_families(self, rng, dtype):
+        n = 4096
+        if dtype == np.float32:
+            keys = rng.standard_normal(n).astype(np.float32)
+            keys[:10] = [0.0, -0.0, np.inf, -np.inf, 1e-38, -1e-38, 3.4e38, -3.4e38, 1.5, -1.5]
+        else:
+            keys = rng.integers(-(2**31), 2**31, size=n).astype(np.int32)
+        s = vrs.create_sorter(n, key_dtype=dtype, backend="xla")
+        got = np.asarray(s.sort(jnp.asarray(keys)))
+        np.testing.assert_array_equal(got, np.sort(keys))
+
+    def test_storage_requirements_monotone(self):
+        s = vrs.create_sorter(1 << 20)
+        a = s.storage_requirements()
+        b = s.storage_requirements(key_value=True)
+        assert b > a > 4 * (1 << 20)
+
+    def test_validation_errors(self):
+        s = vrs.create_sorter(128)
+        with pytest.raises(ValueError):
+            s.sort(jnp.zeros((4, 4), jnp.uint32))
+        with pytest.raises(ValueError):
+            s.sort(jnp.zeros(256, jnp.uint32))
+        with pytest.raises(TypeError):
+            s.sort(jnp.zeros(64, jnp.int32))
+
+
+def test_bitops_roundtrip(rng):
+    from vulkan_radix_sort_tpu.ops import bitops
+
+    f = rng.standard_normal(64).astype(np.float32)
+    u = bitops.encode_f32(jnp.asarray(f))
+    np.testing.assert_array_equal(np.asarray(bitops.decode_f32(u)), f)
+    i = rng.integers(-(2**31), 2**31, size=64).astype(np.int32)
+    ui = bitops.encode_i32(jnp.asarray(i))
+    np.testing.assert_array_equal(np.asarray(bitops.decode_i32(ui)), i)
+    # order preservation
+    np.testing.assert_array_equal(
+        np.argsort(np.asarray(u), kind="stable"), np.argsort(f, kind="stable")
+    )

@@ -1,0 +1,49 @@
+"""vulkan_radix_sort_tpu — a TPU-native radix-sort execution engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability set of
+jaesung-cs/vulkan_radix_sort (a Vulkan reduce-then-scan LSD radix sorter for
+32-bit keys and key-value pairs): stable LSD radix sort decomposed into
+Pallas TPU kernels (block-sort upsweep, jnp spine, streaming-placement
+downsweep), a cached-pipeline Sorter API mirroring the reference's seven
+vrdx* entry points, dynamic element counts (the "indirect" path), a
+multi-chip distributed sort over a jax.sharding.Mesh, and a benchmark
+harness replicating the reference's sweep/verification methodology.
+"""
+
+from .config import SortConfig, default_config
+from .models.sorter import Sorter, create_sorter
+from .ops import radix, reference
+from .ops.radix import sort_pairs_u32, sort_u32
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SortConfig",
+    "Sorter",
+    "create_sorter",
+    "default_config",
+    "radix",
+    "reference",
+    "sort",
+    "sort_key_value",
+    "sort_pairs_u32",
+    "sort_u32",
+]
+
+
+def sort(keys, count=None, config=None):
+    """One-shot ascending sort (creates a throwaway Sorter).
+
+    Analog of vrdxCmdSort / vrdxCmdSortIndirect (h.in:310-331).
+    """
+    s = Sorter(keys.shape[0], key_dtype=keys.dtype, config=config)
+    return s.sort(keys, count=count)
+
+
+def sort_key_value(keys, values, count=None, config=None):
+    """One-shot stable key-value sort.
+
+    Analog of vrdxCmdSortKeyValue / ...Indirect (h.in:333-342).
+    """
+    s = Sorter(keys.shape[0], key_dtype=keys.dtype, config=config)
+    return s.sort_key_value(keys, values, count=count)

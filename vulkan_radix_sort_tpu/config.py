@@ -1,0 +1,92 @@
+"""Tuning constants and sort configuration.
+
+TPU-native analog of the reference's compiled-in tuning constants
+(reference: src/shader/constants.slang:1-5 — RADIX=256, WORKGROUP_SIZE=512,
+PARTITION_DIVISION=8, PARTITION_SIZE=4096). On TPU the tile geometry is set
+by the VPU (8x128) and MXU (128x128), so the constants differ, but they play
+the same role: one place that host orchestration and kernels both read.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+# ---------------------------------------------------------------------------
+# Kernel geometry (Pallas backend).
+# ---------------------------------------------------------------------------
+
+# Lanes per VPU row. Fixed by TPU hardware.
+LANES = 128
+
+# Sublanes per 32-bit VPU tile. Fixed by TPU hardware.
+SUBLANES = 8
+
+# Bits consumed per local sub-pass inside the block-sort kernel.
+# 4 bits -> 16 buckets; keeps the one-hot rank matrices narrow enough that
+# the VPU cost per key stays low while the MXU does the heavy lifting.
+DIGIT_BITS = 4
+
+# Number of buckets per pass (analog of the reference's RADIX=256,
+# constants.slang:1).  We use a smaller radix because TPU has no shared-memory
+# atomics; ranks come from matmul cumsums whose cost scales with the radix.
+RADIX = 1 << DIGIT_BITS
+
+# Number of global passes over the 32-bit key: 32 / DIGIT_BITS.
+NUM_PASSES = 32 // DIGIT_BITS
+
+# Keys per block processed by the block-sort (upsweep) kernel. Analog of
+# PARTITION_SIZE=4096 (constants.slang:4). Must be a multiple of LANES*SUBLANES.
+BLOCK = 2048
+
+# Rows of LANES lanes per block.
+BLOCK_ROWS = BLOCK // LANES
+
+# Staging tile rows flushed per DMA by the downsweep streaming writer
+# (analog of the reference's shared-memory staging scatter,
+# downsweep.slang:186-192: stage locally, write near-sequentially).
+FLUSH_ROWS = 16  # 16 rows * 128 lanes * 4B = 8 KiB per flush
+
+# Sentinel used to pad the tail of the key buffer up to a block multiple.
+# The reference uses the same trick: out-of-range keys read as 0xffffffff
+# (upsweep.slang:32) and writes are masked (downsweep.slang:199).
+KEY_SENTINEL = 0xFFFFFFFF
+
+
+@dataclasses.dataclass(frozen=True)
+class SortConfig:
+    """Configuration of one compiled sorter pipeline."""
+
+    block: int = BLOCK
+    digit_bits: int = DIGIT_BITS
+    flush_rows: int = FLUSH_ROWS
+    # 'pallas' | 'xla' | 'auto'
+    backend: str = "auto"
+    # run Pallas kernels in interpreter mode (debugging / CPU testing);
+    # analog of the reference's opt-in validation layers (bench.cc:120).
+    interpret: bool = False
+
+    @property
+    def radix(self) -> int:
+        return 1 << self.digit_bits
+
+    @property
+    def num_passes(self) -> int:
+        return -(-32 // self.digit_bits)
+
+    @property
+    def block_rows(self) -> int:
+        return self.block // LANES
+
+
+@functools.cache
+def default_config() -> SortConfig:
+    return SortConfig()
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(a: int, b: int) -> int:
+    return cdiv(a, b) * b

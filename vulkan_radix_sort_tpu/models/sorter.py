@@ -1,0 +1,202 @@
+"""The Sorter: the framework's flagship "model".
+
+TPU-native analog of the reference host library's opaque VrdxSorter handle
+plus its seven entry points (include/vk_radix_sort.h:24-81):
+
+  vrdxCreateSorter                    -> Sorter(...) / create_sorter(...)
+  vrdxDestroySorter                   -> (garbage collection)
+  vrdxGetSorterStorageRequirements    -> Sorter.storage_requirements()
+  vrdxGetSorterKeyValueStorageRequirements -> idem with key_value=True
+  vrdxCmdSort                         -> Sorter.sort(keys)
+  vrdxCmdSortIndirect                 -> Sorter.sort(keys, count=...)
+  vrdxCmdSortKeyValue                 -> Sorter.sort_key_value(keys, values)
+  vrdxCmdSortKeyValueIndirect         -> Sorter.sort_key_value(..., count=...)
+
+Where the reference caches four pre-compiled Vulkan pipelines per sorter
+(h.in:199-238), we cache jitted XLA executables per padded size bucket; where
+it exposes temp-buffer sizing because Vulkan makes the user allocate scratch
+(h.in:279-308), XLA allocates scratch internally, so storage_requirements()
+is an estimator for capacity planning rather than a contract.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SortConfig, default_config, round_up
+from ..ops import bitops, radix, reference
+from ..utils.timing import StageTimes, time_fn
+
+
+def _pick_backend(cfg: SortConfig) -> str:
+    if cfg.backend != "auto":
+        return cfg.backend
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "xla"
+
+
+class Sorter:
+    """Compiled, reusable radix-sort pipelines for keys up to max_n elements."""
+
+    def __init__(
+        self,
+        max_n: int,
+        key_dtype=jnp.uint32,
+        config: SortConfig | None = None,
+    ):
+        if max_n <= 0:
+            raise ValueError("max_n must be positive")
+        self.config = config or default_config()
+        self.max_n = int(max_n)
+        self.key_dtype = jnp.dtype(key_dtype)
+        if self.key_dtype not in bitops.ENCODERS:
+            raise ValueError(f"unsupported key dtype {key_dtype}")
+        self.backend = _pick_backend(self.config)
+        self._encode, self._decode = bitops.ENCODERS[self.key_dtype]
+
+    # -- storage sizing (analog of h.in:279-308) ---------------------------
+
+    def storage_requirements(self, key_value: bool = False) -> int:
+        """Estimated scratch bytes XLA will hold live during a sort.
+
+        Mirrors the reference layout (h.in:108-115): element count +
+        histograms + ping-pong key (and value) buffers.
+        """
+        cfg = self.config
+        n = round_up(self.max_n, cfg.block)
+        blocks = n // cfg.block
+        hist = 4 * (1 + cfg.num_passes * cfg.radix + blocks * cfg.radix)
+        inout = 4 * n
+        return hist + inout * (2 if key_value else 1)
+
+    # -- compiled pipelines -------------------------------------------------
+
+    @functools.cached_property
+    def _sort_fn(self):
+        cfg, backend = self.config, self.backend
+        enc, dec = self._encode, self._decode
+
+        @jax.jit
+        def f(keys):
+            u = enc(keys)
+            if backend == "pallas":
+                out = radix.sort_u32(u, config=cfg)
+            else:
+                out = reference.sort_keys(u)
+            return dec(out)
+
+        return f
+
+    @functools.cached_property
+    def _sort_pairs_fn(self):
+        cfg, backend = self.config, self.backend
+        enc, dec = self._encode, self._decode
+
+        @jax.jit
+        def f(keys, values):
+            u = enc(keys)
+            if backend == "pallas":
+                k, v = radix.sort_pairs_u32(u, values, config=cfg)
+            else:
+                k, v = reference.sort_pairs(u, values)
+            return dec(k), v
+
+        return f
+
+    @functools.cached_property
+    def _sort_count_fn(self):
+        cfg, backend = self.config, self.backend
+        enc, dec = self._encode, self._decode
+
+        @jax.jit
+        def f(keys, count):
+            u = enc(keys)
+            n = u.shape[0]
+            idx = jnp.arange(n, dtype=jnp.uint32)
+            in_range = idx < count
+            masked = jnp.where(in_range, u, jnp.uint32(0xFFFFFFFF))
+            if backend == "pallas":
+                # Stable sort of (masked key, original index) keeps genuine
+                # 0xffffffff keys inside the range ahead of the sentinels.
+                k, _ = radix.sort_pairs_u32(masked, idx, config=cfg)
+            else:
+                k = reference.sort_keys_count(u, count)
+            return dec(jnp.where(in_range, k, u))
+
+        return f
+
+    @functools.cached_property
+    def _sort_pairs_count_fn(self):
+        cfg, backend = self.config, self.backend
+        enc, dec = self._encode, self._decode
+
+        @jax.jit
+        def f(keys, values, count):
+            u = enc(keys)
+            n = u.shape[0]
+            idx = jnp.arange(n, dtype=jnp.uint32)
+            in_range = idx < count
+            masked = jnp.where(in_range, u, jnp.uint32(0xFFFFFFFF))
+            if backend == "pallas":
+                k, v = radix.sort_pairs_u32(masked, values, config=cfg)
+            else:
+                k, _, v = jax.lax.sort((masked, idx, values), num_keys=2)
+            return dec(jnp.where(in_range, k, u)), jnp.where(in_range, v, values)
+
+        return f
+
+    # -- public API ----------------------------------------------------------
+
+    def _check(self, keys, values=None):
+        if keys.ndim != 1:
+            raise ValueError("keys must be rank-1")
+        if keys.shape[0] > self.max_n:
+            raise ValueError(f"n={keys.shape[0]} exceeds max_n={self.max_n}")
+        if keys.dtype != self.key_dtype:
+            raise TypeError(f"expected key dtype {self.key_dtype}, got {keys.dtype}")
+        if values is not None and values.shape != keys.shape:
+            raise ValueError("values must match keys shape")
+
+    def sort(self, keys, count=None):
+        """Ascending sort. `count` (traced scalar ok) sorts only the prefix,
+        leaving the tail untouched — the reference's indirect path."""
+        self._check(keys)
+        if count is None:
+            return self._sort_fn(keys)
+        return self._sort_count_fn(keys, jnp.uint32(count))
+
+    def sort_key_value(self, keys, values, count=None):
+        """Stable ascending key-value sort; values ride as a separate 32-bit
+        buffer per pass (reference README.md:60)."""
+        self._check(keys, values)
+        if count is None:
+            return self._sort_pairs_fn(keys, values)
+        return self._sort_pairs_count_fn(keys, values, jnp.uint32(count))
+
+    # -- timing queries (analog of the 15-timestamp layout, h.in:39-50) ------
+
+    def sort_timed(self, keys, iters: int = 10) -> StageTimes:
+        t = StageTimes()
+        t.total_ns = time_fn(self._sort_fn, keys, iters=iters) * 1e9
+        t.cpu_ns = t.total_ns
+        if self.backend == "pallas":
+            stage = radix.stage_times(self._encode(keys), self.config, iters=iters)
+            t.upsweep_ns = stage.get("upsweep", 0.0) * 1e9
+            t.spine_ns = stage.get("spine", 0.0) * 1e9
+            t.downsweep_ns = stage.get("downsweep", 0.0) * 1e9
+            t.extra = stage
+        return t
+
+
+def create_sorter(max_n: int, key_dtype=jnp.uint32, **kw) -> Sorter:
+    """vrdxCreateSorter analog (h.in:141-265)."""
+    cfg_kw = {k: v for k, v in kw.items() if k in SortConfig.__dataclass_fields__}
+    cfg = SortConfig(**cfg_kw) if cfg_kw else None
+    return Sorter(max_n, key_dtype=key_dtype, config=cfg)

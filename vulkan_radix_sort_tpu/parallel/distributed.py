@@ -1,0 +1,215 @@
+"""Distributed sort over a jax.sharding.Mesh.
+
+New scope relative to the reference (which is single-GPU, single queue —
+SURVEY.md §2.6): scale element count N beyond one chip's HBM by sharding keys
+over a 1-D device mesh and exchanging digit/range buckets over ICI.
+
+Algorithm (exact, stable, skew-proof):
+  1. every device stable-sorts its local shard (single-chip engine),
+  2. exact global splitter keys are found with 4 rounds of byte-wise
+     refinement over psum'd histograms — the distributed analog of the
+     reference's global digit histogram (upsweep.slang:42-44), generalized
+     from one 256-bin pass to a 4-level radix search so degenerate (Zipfian /
+     few-distinct / constant) distributions still split evenly,
+  3. keys equal to a splitter are divided between the two sides *by count,
+     in (device, local position) order* — this is what keeps the sort stable
+     and the output shard sizes exactly N/D even when every key is identical,
+  4. one ragged_all_to_all moves each contiguous local range to its owner
+     (values ride in a second ragged_all_to_all, mirroring the reference's
+     separate 32-bit value buffer, README.md:60),
+  5. each device stable-sorts its received range; concatenation over the mesh
+     is then globally sorted.
+
+Collectives ride ICI via XLA (psum / all_gather / ragged_all_to_all inside
+shard_map); no NCCL-style code is translated from anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SortConfig
+from ..ops import radix, reference
+
+AXIS = "x"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D sort mesh. On a pod slice the axis maps onto ICI rings."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.make_mesh((len(devices),), (AXIS,), devices=np.asarray(devices))
+
+
+def _local_sort(keys, values=None, config: SortConfig | None = None, use_pallas=False):
+    if values is None:
+        if use_pallas:
+            return radix.sort_u32(keys, config=config)
+        return reference.sort_keys(keys)
+    if use_pallas:
+        return radix.sort_pairs_u32(keys, values, config=config)
+    return reference.sort_pairs(keys, values)
+
+
+def _find_splitters(ks, targets, n_dev):
+    """Exact global splitter keys: value of the sorted-order element at each
+    global position in `targets`. 4 rounds of 8-bit refinement; each round
+    psums 256 candidate counts per boundary (cheap: (D-1, 256) ints)."""
+    nb = targets.shape[0]
+    prefix = jnp.zeros((nb, 1), jnp.uint32)
+    for r in (24, 16, 8, 0):
+        bytes_ = jnp.arange(256, dtype=jnp.uint32)[None, :]  # (1, 256)
+        low_ones = jnp.uint32((1 << r) - 1)
+        # upper bound of candidate range: prefix | b<<r | low-ones
+        cand_hi = prefix | (bytes_ << r) | low_ones  # (nb, 256)
+        local_le = jnp.searchsorted(ks, cand_hi.reshape(-1), side="right")
+        global_le = jax.lax.psum(local_le, AXIS).reshape(nb, 256)
+        # smallest byte whose cumulative count exceeds the target position
+        take = global_le > targets[:, None]  # (nb, 256) monotone in byte
+        byte = jnp.argmax(take, axis=1).astype(jnp.uint32)  # first True
+        prefix = prefix | (byte[:, None] << r)
+    return prefix[:, 0]  # (nb,) exact splitter keys
+
+
+def _cut_positions(ks, splitters, targets, n_dev):
+    """Local cut positions so that global range d = [targets[d-1], targets[d]).
+
+    Keys equal to a splitter are split by count in (device, local) order —
+    the stability + even-shard guarantee for degenerate distributions.
+    """
+    my = jax.lax.axis_index(AXIS)
+    n_less = jnp.searchsorted(ks, splitters, side="left")  # (nb,)
+    n_eq = jnp.searchsorted(ks, splitters, side="right") - n_less
+    less_tot = jax.lax.psum(n_less, AXIS)
+    eq_all = jax.lax.all_gather(n_eq, AXIS)  # (D, nb)
+    dev_ids = jnp.arange(n_dev)[:, None]
+    eq_before = jnp.sum(jnp.where(dev_ids < my, eq_all, 0), axis=0)  # (nb,)
+    remain = targets - less_tot  # equals to absorb on the left side
+    take_eq = jnp.clip(remain - eq_before, 0, n_eq)
+    return n_less + take_eq  # (nb,) ascending cut positions in my shard
+
+
+def _ragged_a2a(operand, out, input_offsets, send_sizes, output_offsets,
+                recv_sizes, n_dev):
+    """ragged_all_to_all, with a dense emulation on platforms whose XLA
+    backend lacks the HLO (XLA:CPU) — used by the CPU-mesh test path.
+
+    The emulation exploits that the send ranges partition the receiver's
+    buffer: each source contributes (value & in-range) rows of a dense
+    (D, m) all_to_all and the receiver sums.
+    """
+    if jax.devices()[0].platform == "tpu":
+        return jax.lax.ragged_all_to_all(
+            operand, out, input_offsets, send_sizes, output_offsets,
+            recv_sizes, axis_name=AXIS,
+        )
+    m = out.shape[0]
+    j = jnp.arange(m)[None, :]  # (1, m) position in dest buffer
+    rel = j - output_offsets[:, None]  # (D, m)
+    valid = (rel >= 0) & (rel < send_sizes[:, None])
+    idx = jnp.clip(input_offsets[:, None] + rel, 0, operand.shape[0] - 1)
+    send_mat = jnp.where(valid, jnp.take(operand, idx), jnp.zeros_like(operand[0]))
+    recv_mat = jax.lax.all_to_all(
+        send_mat[:, None, :], AXIS, split_axis=0, concat_axis=0
+    )[:, 0, :]
+    return recv_mat.sum(axis=0).astype(operand.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "config", "key_value", "use_pallas")
+)
+def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas):
+    n_dev = mesh.shape[AXIS]
+    n = keys.shape[0]
+    assert n % n_dev == 0, "global N must divide the mesh"
+    m = n // n_dev
+    targets = (jnp.arange(1, n_dev) * m).astype(jnp.int32)
+
+    def shard_fn(ks, vs):
+        # 1. local stable sort
+        if key_value:
+            ks, vs = _local_sort(ks, vs, config, use_pallas)
+        else:
+            ks = _local_sort(ks, None, config, use_pallas)
+
+        # 2-3. exact balanced cuts
+        splitters = _find_splitters(ks, targets, n_dev)
+        cuts = _cut_positions(ks, splitters, targets, n_dev)
+        bounds = jnp.concatenate(
+            [jnp.zeros(1, cuts.dtype), cuts, jnp.full((1,), m, cuts.dtype)]
+        )
+        send_sizes = (bounds[1:] - bounds[:-1]).astype(jnp.int32)  # (D,)
+        input_offsets = bounds[:-1].astype(jnp.int32)  # (D,)
+
+        # receiver-side placement: my chunk lands after chunks of lower ranks
+        sizes_all = jax.lax.all_gather(send_sizes, AXIS)  # (D src, D dst)
+        my = jax.lax.axis_index(AXIS)
+        dev_ids = jnp.arange(n_dev)[:, None]
+        output_offsets = jnp.sum(
+            jnp.where(dev_ids < my, sizes_all, 0), axis=0
+        ).astype(jnp.int32)  # (D,) offset in each dst's buffer for my data
+        recv_sizes = sizes_all[:, my].astype(jnp.int32)  # from each source
+
+        # 4. ragged bucket exchange over ICI
+        out = jnp.zeros((m,), ks.dtype)
+        ks2 = _ragged_a2a(
+            ks, out, input_offsets, send_sizes, output_offsets, recv_sizes,
+            n_dev,
+        )
+        if key_value:
+            vout = jnp.zeros((m,), vs.dtype)
+            vs2 = _ragged_a2a(
+                vs, vout, input_offsets, send_sizes, output_offsets,
+                recv_sizes, n_dev,
+            )
+            # 5. local stable re-sort; source chunks arrive in rank order so
+            # a stable sort preserves global stability.
+            ks3, vs3 = _local_sort(ks2, vs2, config, use_pallas)
+            return ks3, vs3
+        ks3 = _local_sort(ks2, None, config, use_pallas)
+        return ks3, jnp.zeros((0,), jnp.uint32)
+
+    spec = P(AXIS)
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec),
+        check_vma=False,
+    )
+    if values is None:
+        values = jnp.zeros((n,), jnp.uint32)
+    return fn(keys, values)
+
+
+def sort_sharded(keys, mesh: Mesh, config: SortConfig | None = None):
+    """Sort a 1-D uint32 array sharded (or shardable) over `mesh`.
+
+    Returns the globally sorted array, evenly sharded over the mesh axis.
+    """
+    use_pallas = (
+        jax.devices()[0].platform == "tpu"
+        and (config is None or config.backend != "xla")
+    )
+    k, _ = _sort_sharded_impl(
+        keys, None, mesh=mesh, config=config, key_value=False,
+        use_pallas=use_pallas,
+    )
+    return k
+
+
+def sort_pairs_sharded(keys, values, mesh: Mesh, config: SortConfig | None = None):
+    """Stable distributed key-value sort; values ride a second ragged
+    exchange as a separate 32-bit buffer (reference README.md:60)."""
+    use_pallas = (
+        jax.devices()[0].platform == "tpu"
+        and (config is None or config.backend != "xla")
+    )
+    return _sort_sharded_impl(
+        keys, values, mesh=mesh, config=config, key_value=True,
+        use_pallas=use_pallas,
+    )

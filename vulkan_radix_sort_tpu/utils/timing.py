@@ -1,0 +1,80 @@
+"""Stage-level timing instrumentation.
+
+TPU analog of the reference's 15 GPU timestamp queries per sort
+(h.in:39-50: start, post-transfer, then upsweep/spine/downsweep per pass,
+end; decoded in bench/vulkan_benchmark.cc:318-337). XLA gives no intra-program
+timestamps, so stage timing runs each jitted stage separately with
+block_until_ready; whole-sort timing runs the fused program.
+
+On this environment the device tunnel adds a large fixed dispatch+sync
+latency (~26 ms measured), so `time_fn` amortizes it by looping the function
+K times inside one jitted program (functional chaining prevents DCE).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+
+@dataclass
+class StageTimes:
+    """Per-stage nanosecond totals, mirror of Results in bench/benchmark_base.h:10-28."""
+
+    total_ns: float = 0.0
+    cpu_ns: float = 0.0
+    upsweep_ns: float = 0.0
+    spine_ns: float = 0.0
+    downsweep_ns: float = 0.0
+    extra: dict = field(default_factory=dict)
+
+
+def _sync(x):
+    leaves = jax.tree.leaves(x)
+    for leaf in leaves:
+        jax.block_until_ready(leaf)
+    # pull one element to the host to defeat async tunnels that ack early
+    # (device-side slice first: transferring the full array would dominate)
+    if leaves:
+        np.asarray(leaves[0][:1])
+
+
+def time_fn(fn, *args, iters: int = 10, warmup: int = 1, loop_inside: int = 1):
+    """Median wall-clock seconds per call of fn(*args).
+
+    Mirrors the reference methodology: 1 warmup + `iters` timed runs, median
+    (bench/bench.cc:15-16,97-101). `loop_inside` > 1 wraps fn in a
+    lax.fori_loop inside one jit to amortize fixed dispatch latency.
+    """
+    if loop_inside > 1:
+        inner = fn
+
+        @jax.jit
+        def looped(*a):
+            def body(_, carry):
+                return inner(*carry) if isinstance(carry, tuple) else inner(carry)
+
+            if len(a) == 1:
+                return jax.lax.fori_loop(0, loop_inside, body, a[0])
+            return jax.lax.fori_loop(0, loop_inside, body, a)
+
+        fn = looped
+
+    for _ in range(max(warmup, 1)):
+        _sync(fn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        ts.append((time.perf_counter() - t0) / loop_inside)
+    return float(np.median(ts))
+
+
+def measure_overhead() -> float:
+    """Fixed dispatch+sync latency of a trivial program (seconds)."""
+    x = jax.numpy.zeros((8,), jax.numpy.uint32)
+    f = jax.jit(lambda a: a + 1)
+    return time_fn(f, x, iters=5)
