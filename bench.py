@@ -19,9 +19,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from vulkan_radix_sort_tpu.config import SortConfig
-    from vulkan_radix_sort_tpu.ops import radix, reference
-    from vulkan_radix_sort_tpu.utils.timing import time_fn
+    from vulkan_radix_sort_tpu.ops import bitonic, reference
+    from vulkan_radix_sort_tpu.utils.timing import marginal_time
 
     n = 1 << 25
     rng = np.random.default_rng(0)
@@ -30,10 +29,13 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        cfg = SortConfig()
-        fn = jax.jit(lambda a: radix.sort_u32(a, config=cfg))
+        chunk = 1 << 18
+        sort = lambda a: bitonic.sort_u32(a, chunk=chunk)  # noqa: E731
+        backend = "network"
     else:
-        fn = jax.jit(reference.sort_keys)
+        sort = reference.sort_keys
+        backend = "xla-cpu"
+    fn = jax.jit(sort)
 
     # correctness gate (reference bench.cc:41-64)
     got = np.asarray(fn(kj))
@@ -44,21 +46,18 @@ def main():
         }))
         return 1
 
-    t = time_fn(fn, kj, iters=10, warmup=2)
-    # subtract the measured fixed dispatch+sync latency of this environment
-    from vulkan_radix_sort_tpu.utils.timing import measure_overhead
-    overhead = measure_overhead()
-    t_net = max(t - overhead, 1e-9)
-    gitems = n / t_net / 1e9
+    # chained-iteration marginal timing: the environment's fixed
+    # dispatch+sync latency (tens of ms, drifting) divides out exactly
+    t = marginal_time(sort, kj, k1=1, k2=4, iters=5)
+    gitems = n / t / 1e9
     print(json.dumps({
         "metric": "keys_gitems_per_s",
         "value": round(gitems, 4),
         "unit": "GItems/s",
         "vs_baseline": round(gitems / BASELINE_KEYS_GITEMS, 4),
         "n": n,
-        "raw_seconds": round(t, 6),
-        "overhead_seconds": round(overhead, 6),
-        "backend": "pallas" if on_tpu else "xla-cpu",
+        "seconds_per_sort": round(t, 6),
+        "backend": backend,
     }))
     return 0
 

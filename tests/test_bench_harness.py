@@ -1,0 +1,51 @@
+"""Benchmark harness tests: sweep shape, CSV schema, correctness gate."""
+
+import numpy as np
+import pytest
+
+from vulkan_radix_sort_tpu.bench import harness
+
+
+def test_sweep_sizes_matches_reference_shape():
+    sizes = harness.sweep_sizes(128)
+    assert sizes[0] == 1 << 18 and sizes[-1] == 1 << 25
+    assert all(b > a for a, b in zip(sizes, sizes[1:]))
+    assert len(sizes) == 128  # distinct at this range/step count
+
+
+def test_cpu_backend_measure_and_csv(tmp_path):
+    res = [
+        harness.measure(harness.make_backend("cpu"), 1 << 10, s, iters=2)
+        for s in ("keys", "kv")
+    ]
+    path = tmp_path / "out.csv"
+    harness.write_csv(str(path), res)
+    lines = path.read_text().splitlines()
+    assert lines[0].startswith("# version:")
+    assert lines[1] == "backend,n,sort,gpu_ms,cpu_ms,gpu_gitems_s,cpu_gitems_s"
+    assert len(lines) == 4
+
+
+def test_correctness_gate_passes_cpu():
+    harness.check_correctness(harness.make_backend("cpu"), 1 << 10)
+
+
+def test_correctness_gate_catches_bad_backend():
+    class Bad(harness._CpuBackend):
+        name = "bad"
+
+        def sort(self, keys):
+            out = np.sort(keys)
+            out[0] ^= 1
+            return out
+
+    with pytest.raises(AssertionError):
+        harness.check_correctness(Bad(), 1 << 10)
+
+
+def test_xla_backend_measure_and_gate():
+    b = harness.make_backend("xla")
+    harness.check_correctness(b, 1 << 12)
+    res = [harness.measure(b, 1 << 12, s, iters=2) for s in ("keys", "kv")]
+    assert {r.sort for r in res} == {"keys", "kv"}
+    assert all(r.gpu_gitems_s > 0 for r in res)

@@ -1,0 +1,67 @@
+"""Bitonic network engine tests (interpret mode on CPU).
+
+Covers the reference's oracle-diff contract (bench/bench.cc:41-64) for the
+network backend: exact equality with np.sort / stable argsort across sizes,
+distributions, chunk geometries, and sentinel edge cases.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vulkan_radix_sort_tpu.ops import bitonic
+from vulkan_radix_sort_tpu.utils import datagen
+
+CHUNK = 1 << 12
+
+
+@pytest.mark.parametrize("n", [64, 100, 1 << 12, 20000, (1 << 15) + 7])
+def test_keys_sizes(rng, n):
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(bitonic.sort_u32(jnp.asarray(keys), chunk=CHUNK, interpret=True))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+@pytest.mark.parametrize("dist", list(datagen.DISTRIBUTIONS))
+def test_keys_distributions(dist):
+    n = 1 << 14
+    keys = datagen.generate_keys(n, seed=3, distribution=dist)
+    got = np.asarray(bitonic.sort_u32(jnp.asarray(keys), chunk=CHUNK, interpret=True))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+@pytest.mark.parametrize("dist", ["uniform", "few", "constant", "sorted"])
+def test_pairs_stable(dist):
+    n = (1 << 14) + 311
+    keys = datagen.generate_keys(n, seed=4, distribution=dist)
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = bitonic.sort_pairs_u32(
+        jnp.asarray(keys), jnp.asarray(vals), chunk=CHUNK, interpret=True
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_pairs_sentinel_keys(rng):
+    """Genuine 0xffffffff keys must sort ahead of the pad sentinels."""
+    n = 5000
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    keys[::3] = 0xFFFFFFFF
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = bitonic.sort_pairs_u32(
+        jnp.asarray(keys), jnp.asarray(vals), chunk=CHUNK, interpret=True
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_single_chunk_no_rounds(rng):
+    """n <= chunk: only the chunk kernel runs."""
+    n = 2000
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(
+        bitonic.sort_u32(jnp.asarray(keys), chunk=1 << 14, interpret=True)
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))

@@ -12,14 +12,15 @@ harness replicating the reference's sweep/verification methodology.
 
 from .config import SortConfig, default_config
 from .models.sorter import Sorter, create_sorter
-from .ops import radix, reference
+from .ops import bitonic, radix, reference
 from .ops.radix import sort_pairs_u32, sort_u32
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "SortConfig",
     "Sorter",
+    "bitonic",
     "create_sorter",
     "default_config",
     "radix",

@@ -1,0 +1,244 @@
+"""Benchmark harness: sweep, timing, correctness gate, CSV.
+
+Re-creates the reference benchmark methodology (reference: bench/bench.cc):
+  - N sweep from 2^18 to 2^25 in linear steps, keys-only and key-value each
+    (bench.cc:15-20,168); step count configurable because TPU compile time
+    per padded-size bucket is nontrivial.
+  - 1 warmup + `iters` timed runs, median reported (bench.cc:15-16,97-101),
+    with the fixed dispatch+sync latency of the environment measured once
+    and subtracted (the analog of timing GPU timestamps instead of wall
+    clock, vulkan_benchmark.cc:318-337).
+  - correctness gate at the first sweep point: element-wise equality against
+    the CPU oracle for both keys and key-value (bench.cc:41-64,164-166),
+    skippable with no_verify.
+  - CSV schema `backend,n,sort,gpu_ms,cpu_ms,gpu_gitems_s,cpu_gitems_s`
+    with a `# version:` comment header (bench.cc:197-203).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import numpy as np
+
+from .. import __version__
+from ..config import SortConfig
+from ..utils import datagen
+from ..utils.timing import marginal_time, measure_overhead, time_fn
+
+N_MIN = 1 << 18  # reference bench.cc:17
+N_MAX = 1 << 25  # reference bench.cc:18
+DEFAULT_STEPS = 128  # reference bench.cc:19-20
+
+
+@dataclasses.dataclass
+class BenchResult:
+    backend: str
+    n: int
+    sort: str  # 'keys' | 'kv'
+    gpu_ms: float  # device time (overhead-subtracted wall clock)
+    cpu_ms: float  # raw wall clock
+    gpu_gitems_s: float
+    cpu_gitems_s: float
+
+
+def sweep_sizes(steps: int = DEFAULT_STEPS, n_min: int = N_MIN,
+                n_max: int = N_MAX) -> list[int]:
+    """Linear N sweep, deduplicated (reference bench.cc:161-163)."""
+    if steps <= 1:
+        return [n_max]
+    xs = [n_min + (n_max - n_min) * i // (steps - 1) for i in range(steps)]
+    out: list[int] = []
+    for x in xs:
+        if not out or x != out[-1]:
+            out.append(x)
+    return out
+
+
+class _JaxBackend:
+    """Backend running one of the framework's engines under jit."""
+
+    def __init__(self, backend: str, config: SortConfig | None = None):
+        import jax
+
+        self.name = backend
+        cfg = config or SortConfig(backend=backend)
+        if cfg.backend != backend:
+            cfg = dataclasses.replace(cfg, backend=backend)
+        self._cfg = cfg
+        self._jax = jax
+
+    def _sorter(self, n):
+        from ..models.sorter import Sorter
+
+        return Sorter(n, config=self._cfg)
+
+    def sort(self, keys: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        s = self._sorter(keys.shape[0])
+        return np.asarray(s.sort(jnp.asarray(keys)))
+
+    def timed_fn(self, keys: np.ndarray, values: np.ndarray | None):
+        import jax.numpy as jnp
+
+        s = self._sorter(keys.shape[0])
+        if values is None:
+            return s._sort_fn, (jnp.asarray(keys),)
+        return s._sort_pairs_fn, (jnp.asarray(keys), jnp.asarray(values))
+
+    def sort_key_value(self, keys, values):
+        import jax.numpy as jnp
+
+        s = self._sorter(keys.shape[0])
+        k, v = s.sort_key_value(jnp.asarray(keys), jnp.asarray(values))
+        return np.asarray(k), np.asarray(v)
+
+
+class _CpuBackend:
+    """NumPy oracle — the reference's CPU backend (bench/cpu_benchmark.cc):
+    np.sort for keys, stable argsort + gather for key-value."""
+
+    name = "cpu"
+
+    def sort(self, keys):
+        return np.sort(keys)
+
+    def sort_key_value(self, keys, values):
+        order = np.argsort(keys, kind="stable")
+        return keys[order], values[order]
+
+    def timed_fn(self, keys, values):
+        if values is None:
+            return (lambda k: np.sort(k)), (keys,)
+        return (
+            lambda k, v: (lambda o: (k[o], v[o]))(np.argsort(k, kind="stable"))
+        ), (keys, values)
+
+
+class _CppBackend(_CpuBackend):
+    """Native C++ LSD radix engine (native/vrs_native.cpp via ctypes)."""
+
+    name = "cpp"
+
+    def __init__(self):
+        from .. import native
+
+        if not native.available():
+            raise RuntimeError("native engine unavailable (no C++ toolchain)")
+        self._native = native
+
+    def sort(self, keys):
+        return self._native.sort_u32(keys)
+
+    def sort_key_value(self, keys, values):
+        return self._native.sort_pairs_u32(keys, values)
+
+    def timed_fn(self, keys, values):
+        if values is None:
+            return self._native.sort_u32, (keys,)
+        return self._native.sort_pairs_u32, (keys, values)
+
+
+BACKENDS = ("network", "radix", "xla", "cpu", "cpp")
+
+
+def make_backend(name: str, config: SortConfig | None = None):
+    if name == "cpu":
+        return _CpuBackend()
+    if name == "cpp":
+        return _CppBackend()
+    if name not in BACKENDS:
+        raise ValueError(f"unknown backend {name!r}; options: {BACKENDS}")
+    return _JaxBackend(name, config)
+
+
+def check_correctness(backend, n: int, seed: int = 0,
+                      distribution: str = "uniform") -> None:
+    """Oracle diff at one size, keys and kv (reference bench.cc:41-64)."""
+    cpu = _CpuBackend()
+    keys = datagen.generate_keys(n, seed=seed, distribution=distribution)
+    got = backend.sort(keys)
+    want = cpu.sort(keys)
+    if not np.array_equal(got, want):
+        i = int(np.argmax(got != want))
+        raise AssertionError(
+            f"keys mismatch at n={n} index {i}: {got[i]:#x} != {want[i]:#x}"
+        )
+    values = np.arange(n, dtype=np.uint32)
+    gk, gv = backend.sort_key_value(keys, values)
+    wk, wv = cpu.sort_key_value(keys, values)
+    if not (np.array_equal(gk, wk) and np.array_equal(gv, wv)):
+        raise AssertionError(f"key-value mismatch at n={n}")
+
+
+def measure(backend, n: int, sort: str, *, iters: int = 10, seed: int = 0,
+            distribution: str = "uniform",
+            overhead: float = 0.0) -> BenchResult:
+    """1 warmup + iters timed runs, median (reference bench.cc:66-101)."""
+    keys = datagen.generate_keys(n, seed=seed, distribution=distribution)
+    values = (
+        datagen.generate_keys(n, seed=seed + 1) if sort == "kv" else None
+    )
+    if isinstance(backend, _CpuBackend):
+        fn, args = backend.timed_fn(keys, values)
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn(*args)
+            ts.append(time.perf_counter() - t0)
+        cpu_s = float(np.median(ts))
+        gpu_s = cpu_s
+    else:
+        fn, args = backend.timed_fn(keys, values)
+        cpu_s = time_fn(fn, *args, iters=iters, warmup=1)
+        # device time via chained-iteration marginal cost: the fixed
+        # dispatch+sync latency divides out (cf. GPU timestamps vs wall
+        # clock in the reference, vulkan_benchmark.cc:293-303)
+        gpu_s = marginal_time(fn, *args, k1=1, k2=3, iters=max(3, iters // 2))
+    return BenchResult(
+        backend=backend.name, n=n, sort=sort,
+        gpu_ms=gpu_s * 1e3, cpu_ms=cpu_s * 1e3,
+        gpu_gitems_s=n / gpu_s / 1e9, cpu_gitems_s=n / cpu_s / 1e9,
+    )
+
+
+def run_sweep(backend_name: str, *, steps: int = DEFAULT_STEPS,
+              iters: int = 10, no_verify: bool = False,
+              distribution: str = "uniform",
+              config: SortConfig | None = None,
+              progress: Callable[[BenchResult], None] | None = None,
+              ) -> list[BenchResult]:
+    """Full sweep over N for keys and kv (reference bench.cc:151-189)."""
+    backend = make_backend(backend_name, config)
+    sizes = sweep_sizes(steps)
+    overhead = 0.0
+    if not isinstance(backend, _CpuBackend):
+        overhead = measure_overhead()
+    if not no_verify:
+        check_correctness(backend, sizes[0], distribution=distribution)
+    results = []
+    for n in sizes:
+        for sort in ("keys", "kv"):
+            r = measure(
+                backend, n, sort, iters=iters, distribution=distribution,
+                overhead=overhead,
+            )
+            results.append(r)
+            if progress:
+                progress(r)
+    return results
+
+
+def write_csv(path: str, results: list[BenchResult]) -> None:
+    """Reference CSV schema + version header (bench.cc:197-203)."""
+    with open(path, "w") as f:
+        f.write(f"# version: {__version__}\n")
+        f.write("backend,n,sort,gpu_ms,cpu_ms,gpu_gitems_s,cpu_gitems_s\n")
+        for r in results:
+            f.write(
+                f"{r.backend},{r.n},{r.sort},{r.gpu_ms:.6f},{r.cpu_ms:.6f},"
+                f"{r.gpu_gitems_s:.6f},{r.cpu_gitems_s:.6f}\n"
+            )

@@ -60,7 +60,11 @@ class SortConfig:
     block: int = BLOCK
     digit_bits: int = DIGIT_BITS
     flush_rows: int = FLUSH_ROWS
-    # 'pallas' | 'xla' | 'auto'
+    # VMEM-resident chunk size of the bitonic network backend (keys per
+    # chunk kernel invocation); must be a power of two >= 256.
+    chunk: int = 1 << 18
+    # 'network' (bitonic CE engine, the TPU hot path) | 'radix' (Pallas LSD
+    # radix pipeline) | 'xla' (lax.sort) | 'auto' (network on TPU, xla off)
     backend: str = "auto"
     # run Pallas kernels in interpreter mode (debugging / CPU testing);
     # analog of the reference's opt-in validation layers (bench.cc:120).

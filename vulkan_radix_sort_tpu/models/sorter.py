@@ -28,18 +28,38 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SortConfig, default_config, round_up
-from ..ops import bitops, radix, reference
+from ..ops import bitonic, bitops, radix, reference
 from ..utils.timing import StageTimes, time_fn
 
 
 def _pick_backend(cfg: SortConfig) -> str:
     if cfg.backend != "auto":
-        return cfg.backend
+        # 'pallas' predates the network engine; keep it as an alias for the
+        # radix pipeline so older configs stay valid.
+        return "radix" if cfg.backend == "pallas" else cfg.backend
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:
         platform = "cpu"
-    return "pallas" if platform == "tpu" else "xla"
+    return "network" if platform == "tpu" else "xla"
+
+
+def _sort_dispatch(backend, cfg, u):
+    if backend == "network":
+        return bitonic.sort_u32(u, chunk=cfg.chunk, interpret=cfg.interpret)
+    if backend == "radix":
+        return radix.sort_u32(u, config=cfg)
+    return reference.sort_keys(u)
+
+
+def _sort_pairs_dispatch(backend, cfg, u, v):
+    if backend == "network":
+        return bitonic.sort_pairs_u32(
+            u, v, chunk=cfg.chunk, interpret=cfg.interpret
+        )
+    if backend == "radix":
+        return radix.sort_pairs_u32(u, v, config=cfg)
+    return reference.sort_pairs(u, v)
 
 
 class Sorter:
@@ -85,12 +105,7 @@ class Sorter:
 
         @jax.jit
         def f(keys):
-            u = enc(keys)
-            if backend == "pallas":
-                out = radix.sort_u32(u, config=cfg)
-            else:
-                out = reference.sort_keys(u)
-            return dec(out)
+            return dec(_sort_dispatch(backend, cfg, enc(keys)))
 
         return f
 
@@ -101,11 +116,7 @@ class Sorter:
 
         @jax.jit
         def f(keys, values):
-            u = enc(keys)
-            if backend == "pallas":
-                k, v = radix.sort_pairs_u32(u, values, config=cfg)
-            else:
-                k, v = reference.sort_pairs(u, values)
+            k, v = _sort_pairs_dispatch(backend, cfg, enc(keys), values)
             return dec(k), v
 
         return f
@@ -122,12 +133,12 @@ class Sorter:
             idx = jnp.arange(n, dtype=jnp.uint32)
             in_range = idx < count
             masked = jnp.where(in_range, u, jnp.uint32(0xFFFFFFFF))
-            if backend == "pallas":
+            if backend == "xla":
+                k = reference.sort_keys_count(u, count)
+            else:
                 # Stable sort of (masked key, original index) keeps genuine
                 # 0xffffffff keys inside the range ahead of the sentinels.
-                k, _ = radix.sort_pairs_u32(masked, idx, config=cfg)
-            else:
-                k = reference.sort_keys_count(u, count)
+                k, _ = _sort_pairs_dispatch(backend, cfg, masked, idx)
             return dec(jnp.where(in_range, k, u))
 
         return f
@@ -144,10 +155,10 @@ class Sorter:
             idx = jnp.arange(n, dtype=jnp.uint32)
             in_range = idx < count
             masked = jnp.where(in_range, u, jnp.uint32(0xFFFFFFFF))
-            if backend == "pallas":
-                k, v = radix.sort_pairs_u32(masked, values, config=cfg)
-            else:
+            if backend == "xla":
                 k, _, v = jax.lax.sort((masked, idx, values), num_keys=2)
+            else:
+                k, v = _sort_pairs_dispatch(backend, cfg, masked, values)
             return dec(jnp.where(in_range, k, u)), jnp.where(in_range, v, values)
 
         return f
@@ -186,11 +197,23 @@ class Sorter:
         t = StageTimes()
         t.total_ns = time_fn(self._sort_fn, keys, iters=iters) * 1e9
         t.cpu_ns = t.total_ns
-        if self.backend == "pallas":
+        if self.backend == "radix":
             stage = radix.stage_times(self._encode(keys), self.config, iters=iters)
             t.upsweep_ns = stage.get("upsweep", 0.0) * 1e9
             t.spine_ns = stage.get("spine", 0.0) * 1e9
             t.downsweep_ns = stage.get("downsweep", 0.0) * 1e9
+            t.extra = stage
+        elif self.backend == "network":
+            # stage mapping: chunk-sort plays the upsweep role (per-block
+            # work), cross kernels the spine (inter-block movement), local
+            # cleanup the downsweep.
+            stage = bitonic.stage_times(
+                self._encode(keys), chunk=self.config.chunk, iters=iters,
+                interpret=self.config.interpret,
+            )
+            t.upsweep_ns = stage["chunk"] * 1e9
+            t.spine_ns = stage["cross"] * 1e9
+            t.downsweep_ns = stage["local"] * 1e9
             t.extra = stage
         return t
 

@@ -1,0 +1,126 @@
+"""ctypes bindings to the native C++ CPU engine (native/vrs_native.cpp).
+
+Builds the shared library with g++ on first use and caches it next to the
+source. The reference ships its host layer as native C++ (reference:
+src/vk_radix_sort.h.in); this module is the framework's native CPU engine —
+oracle sorts, a fast host fallback, and the mt19937 benchmark data
+generator (reference: bench/data_generator.cc).
+
+Everything degrades gracefully: `available()` is False when no C++
+toolchain exists, and callers fall back to NumPy.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import shutil
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "vrs_native.cpp",
+)
+_LIB_PATH = os.path.join(os.path.dirname(_SRC), "libvrs_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    gxx = shutil.which("g++") or shutil.which("clang++")
+    if gxx is None or not os.path.exists(_SRC):
+        return None
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(
+        _LIB_PATH
+    ) >= os.path.getmtime(_SRC):
+        return _LIB_PATH
+    cmd = [
+        gxx, "-O3", "-shared", "-fPIC", "-std=c++17",
+        _SRC, "-o", _LIB_PATH,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, OSError):
+        return None
+    return _LIB_PATH
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        path = _build()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.vrs_sort_u32.argtypes = [u32p, ctypes.c_size_t]
+        lib.vrs_sort_pairs_u32.argtypes = [u32p, u32p, ctypes.c_size_t]
+        lib.vrs_generate_uniform.argtypes = [
+            u32p, ctypes.c_size_t, ctypes.c_uint64, ctypes.c_int,
+        ]
+        lib.vrs_is_sorted_u32.argtypes = [u32p, ctypes.c_size_t]
+        lib.vrs_is_sorted_u32.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_u32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def sort_u32(keys: np.ndarray) -> np.ndarray:
+    """Stable ascending sort (copy); native LSD radix."""
+    lib = _load()
+    if lib is None:
+        return np.sort(keys)
+    out = np.ascontiguousarray(keys, dtype=np.uint32).copy()
+    lib.vrs_sort_u32(_as_u32p(out), out.size)
+    return out
+
+
+def sort_pairs_u32(keys: np.ndarray, values: np.ndarray):
+    """Stable ascending key-value sort (copies)."""
+    lib = _load()
+    if lib is None:
+        order = np.argsort(keys, kind="stable")
+        return keys[order], values[order]
+    k = np.ascontiguousarray(keys, dtype=np.uint32).copy()
+    v = np.ascontiguousarray(values, dtype=np.uint32).copy()
+    lib.vrs_sort_pairs_u32(_as_u32p(k), _as_u32p(v), k.size)
+    return k, v
+
+
+def generate_uniform(n: int, seed: int = 0, bits: int = 32) -> np.ndarray:
+    """mt19937 uniform keys (reference data_generator.cc parity)."""
+    lib = _load()
+    if lib is None:
+        rng = np.random.default_rng(seed)
+        mask = 0xFFFFFFFF if bits >= 32 else (1 << bits) - 1
+        return (
+            rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+            & np.uint32(mask)
+        )
+    out = np.empty(n, dtype=np.uint32)
+    lib.vrs_generate_uniform(_as_u32p(out), n, seed, bits)
+    return out
+
+
+def is_sorted_u32(keys: np.ndarray) -> bool:
+    lib = _load()
+    a = np.ascontiguousarray(keys, dtype=np.uint32)
+    if lib is None:
+        return bool(np.all(a[1:] >= a[:-1]))
+    return bool(lib.vrs_is_sorted_u32(_as_u32p(a), a.size))

@@ -1,0 +1,493 @@
+"""Bitonic sort-network engine: the TPU-native hot path.
+
+Why a sorting network and not a literal radix translation: the reference's
+downsweep scatters keys through shared memory with per-lane atomics and
+ballots (reference: src/shader/downsweep.slang:88-201) — TPU has neither
+scatter nor ballots, and microbenchmarks (tools/microbench.py) measured
+one-hot-matmul radix ranking at ~1.5 ns/key/subsort while a full
+compare-exchange stage over VMEM tiles costs ~2.2 ps/element. On this
+hardware the fastest exact sort is a network of roll+min/max+select stages:
+the VPU runs one full CE stage over 33M keys in ~75 us.
+
+Structure (all under one jit):
+  1. chunk network — sorts C-element chunks entirely in VMEM with the full
+     bitonic network (phases k=2..C); the final phase direction alternates
+     per chunk (ascending/descending) so chunks form bitonic pairs.
+  2. per merge round r (runs of C*2^r):
+     a. cross kernel — all stage distances >= C, processed on groups of 2^r
+        blocks sliced along the chunk dimension (distances >= C only connect
+        equal offsets, so slicing is sound).
+     b. local kernel — stage distances < C inside each block in VMEM.
+Direction masks follow the classic XOR-network form: during phase k an
+element descends iff bit log2(k) of its global flat index is set; for
+k >= C that bit is a scalar per block/group and is derived from program_id.
+
+Compile-time discipline: every stage is emitted with *static* roll shifts
+(dynamic tpu.dynamic_rotate and lax.fori_loop carries both measured 2-4x
+slower per stage), but Mosaic compile time grows superlinearly with ops per
+kernel (a single 171-stage key-value kernel stalls it for >25 minutes), so
+the chunk network is split into several pallas_call's of at most
+~MAX_GROUP_STAGES stages each. The extra HBM round trips per split cost
+~0.8 ms each at 2^25 — noise next to the compile-time cliff.
+
+Stability / key-value: the KV path carries (key, value, original index) and
+compares (key, index) lexicographically — a total order, which makes the
+network's output exactly the stable-by-key permutation the reference
+verifies against std::stable_sort (reference: bench/cpu_benchmark.cc:33-49,
+bench/bench.cc:41-64). Values ride as a separate 32-bit buffer, the
+reference library's signature design (reference: README.md:60).
+
+uint32 keys are compared as int32 with the sign bit flipped (Mosaic has no
+unsigned vector min/max); the flip is undone on store.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+ROW_BITS = 7  # log2(LANES)
+SIGN = np.int32(-0x80000000)  # plain scalar: jnp module-level arrays would
+# be captured as pallas constants
+
+# stage budget per emitted kernel (keys-only; key-value kernels carry ~2.5x
+# the ops per stage so they get a proportionally smaller budget)
+MAX_GROUP_STAGES = 96
+MAX_GROUP_STAGES_KV = 40
+
+# scoped-VMEM ceiling per kernel: the Mosaic default (16 MB) is far below
+# the chip's physical VMEM (128 MB on v5e) and the unrolled network keeps
+# several live block-sized temporaries
+VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _log2(n: int) -> int:
+    b = n.bit_length() - 1
+    assert 1 << b == n, f"{n} not a power of two"
+    return b
+
+
+def _iota(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _flip(u32):
+    return jax.lax.bitcast_convert_type(u32, jnp.int32) ^ SIGN
+
+
+def _unflip(i32):
+    return jax.lax.bitcast_convert_type(i32 ^ SIGN, jnp.uint32)
+
+
+def _roll(x, shift, axis):
+    """pltpu.roll modulo the axis size (it requires 0 <= shift < size)."""
+    return pltpu.roll(x, shift % x.shape[axis], axis=axis)
+
+
+def _stage(arrs, j, desc):
+    """One compare-exchange stage at distance j over row-major flat index.
+
+    arrs: (key,) order-flipped int32, or (key, value, index) for the stable
+    KV path. j: static power-of-two distance. desc: mask (or scalar bool)
+    of descending regions for the current phase.
+    """
+    axis, sh = (1, j) if j < LANES else (0, j // LANES)
+    shape = arrs[0].shape
+    up = (_iota(shape, axis) & sh) == 0
+
+    if len(arrs) == 1:
+        (x,) = arrs
+        pm = _roll(x, -sh, axis=axis)  # partner for 'up' slots: x[i+j]
+        mn = jnp.minimum(x, pm)
+        mx = jnp.maximum(x, pm)
+        a = jnp.where(desc, mx, mn)  # value for up slot
+        b = jnp.where(desc, mn, mx)  # down-slot value (computed at up slot)
+        return (jnp.where(up, a, _roll(b, sh, axis=axis)),)
+
+    k, v, ix = arrs
+    pk = _roll(k, -sh, axis=axis)
+    pix = _roll(ix, -sh, axis=axis)
+    # int32, not bool: Mosaic cannot rotate i1 vectors
+    lt = jnp.where(
+        (pk < k) | ((pk == k) & (pix < ix)), jnp.int32(1), jnp.int32(0)
+    )  # partner-before-mine
+    # take(i): up slot takes partner iff partner sorts first (asc);
+    # down slot i takes partner iff partner-of-up-slot(i-j) sorted first
+    take = (jnp.where(up, lt, _roll(lt, sh, axis=axis)) > 0) ^ desc
+
+    def pick(arr, parr):
+        p = jnp.where(up, parr, _roll(arr, sh, axis=axis))
+        return jnp.where(take, p, arr)
+
+    pv = _roll(v, -sh, axis=axis)
+    return (pick(k, pk), pick(v, pv), pick(ix, pix))
+
+
+def _desc_static(shape, k):
+    """(flat_index & k) != 0 for static k < C (block-local)."""
+    if k < LANES:
+        return (_iota(shape, 1) & k) != 0
+    return (_iota(shape, 0) & (k // LANES)) != 0
+
+
+def _load(refs, kv):
+    if kv:
+        k_ref, v_ref, ix_ref = refs[:3]
+        return (
+            _flip(k_ref[:]),
+            v_ref[:],
+            jax.lax.bitcast_convert_type(ix_ref[:], jnp.int32),
+        )
+    return (_flip(refs[0][:]),)
+
+
+def _store(refs, arrs, kv):
+    if kv:
+        ko_ref, vo_ref, ixo_ref = refs[-3:]
+        ko_ref[:] = _unflip(arrs[0])
+        vo_ref[:] = arrs[1]
+        ixo_ref[:] = jax.lax.bitcast_convert_type(arrs[2], jnp.uint32)
+    else:
+        refs[-1][:] = _unflip(arrs[0])
+
+
+# --------------------------------------------------------------------------
+# chunk network: phases pk_lo..pk_hi of the bitonic sort of one chunk
+# --------------------------------------------------------------------------
+
+
+def _chunk_phases_body(C, pk_lo, pk_hi, kv, refs):
+    arrs = _load(refs, kv)
+    shape = arrs[0].shape
+    lc = _log2(C)
+    for pk in range(pk_lo, pk_hi + 1):
+        kphase = 1 << pk
+        if pk == lc:
+            # final phase: direction is bit log2(C) of the global index,
+            # i.e. chunk parity — even chunks ascend, odd descend.
+            desc = (pl.program_id(0) & 1) == 1
+        else:
+            desc = _desc_static(shape, kphase)
+        for pj in range(pk - 1, -1, -1):
+            arrs = _stage(arrs, 1 << pj, desc)
+    _store(refs, arrs, kv)
+
+
+def _phase_groups(lc: int, budget: int):
+    """Partition phases 1..lc into groups of <= budget stages (phase pk has
+    pk stages); a phase never splits across kernels."""
+    groups, cur, cost = [], [], 0
+    for pk in range(1, lc + 1):
+        if cur and cost + pk > budget:
+            groups.append(cur)
+            cur, cost = [], 0
+        cur.append(pk)
+        cost += pk
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+# --------------------------------------------------------------------------
+# cross kernel: distances >= C for merge round r, grouped blocks
+# --------------------------------------------------------------------------
+
+
+def _cross_kernel_body(r, kv, refs):
+    """refs blocks are (G=2^r, SR, 128); stage distances are along dim 0."""
+    arrs = _load(refs, kv)
+    G = arrs[0].shape[0]
+    assert G == 1 << r
+    desc = (pl.program_id(0) & 1) == 1  # bit log2(C)+r of the global index
+    shape = arrs[0].shape
+
+    for t in range(r - 1, -1, -1):
+        d = 1 << t
+        up = (_iota(shape, 0) & d) == 0
+        k = arrs[0]
+        pm = _roll(k, -d, axis=0)
+        if kv:
+            _, v, ix = arrs
+            pix = _roll(ix, -d, axis=0)
+            lt = jnp.where(
+                (pm < k) | ((pm == k) & (pix < ix)), jnp.int32(1), jnp.int32(0)
+            )
+            take = (jnp.where(up, lt, _roll(lt, d, axis=0)) > 0) ^ desc
+
+            def pick(arr, parr):
+                p = jnp.where(up, parr, _roll(arr, d, axis=0))
+                return jnp.where(take, p, arr)
+
+            pv = _roll(v, -d, axis=0)
+            arrs = (pick(k, pm), pick(v, pv), pick(ix, pix))
+        else:
+            mn = jnp.minimum(k, pm)
+            mx = jnp.maximum(k, pm)
+            a = jnp.where(desc, mx, mn)
+            b = jnp.where(desc, mn, mx)
+            arrs = (jnp.where(up, a, _roll(b, d, axis=0)),)
+
+    _store(refs, arrs, kv)
+
+
+# --------------------------------------------------------------------------
+# local kernel: distances < C for merge round r (per-block cleanup)
+# --------------------------------------------------------------------------
+
+
+def _local_kernel_body(C, r, kv, refs):
+    arrs = _load(refs, kv)
+    desc = ((pl.program_id(0) >> r) & 1) == 1  # bit log2(C)+r of global idx
+    for pj in range(_log2(C) - 1, -1, -1):
+        arrs = _stage(arrs, 1 << pj, desc)
+    _store(refs, arrs, kv)
+
+
+# --------------------------------------------------------------------------
+# fused round kernel: cross + local in one pass when the whole 2^r-block
+# group fits VMEM — halves the round's HBM traffic
+# --------------------------------------------------------------------------
+
+
+def _fused_round_body(C, r, kv, refs):
+    arrs = _load(refs, kv)  # (G*rc, LANES), one whole group
+    G = 1 << r
+    rows = arrs[0].shape[0]
+    rc = rows // G
+    # for both the cross stages (bit log2(C)+r of the global index) and the
+    # local stages the direction bit reduces to the group parity: block
+    # B = g*2^r + b with b < 2^r gives (B >> r) & 1 == g & 1.
+    desc = (pl.program_id(0) & 1) == 1
+
+    arrs3 = tuple(a.reshape(G, rc, LANES) for a in arrs)
+    shape3 = arrs3[0].shape
+    for t in range(r - 1, -1, -1):
+        d = 1 << t
+        up = (_iota(shape3, 0) & d) == 0
+        k = arrs3[0]
+        pm = _roll(k, -d, axis=0)
+        if kv:
+            _, v, ix = arrs3
+            pix = _roll(ix, -d, axis=0)
+            lt = jnp.where(
+                (pm < k) | ((pm == k) & (pix < ix)), jnp.int32(1), jnp.int32(0)
+            )
+            take = (jnp.where(up, lt, _roll(lt, d, axis=0)) > 0) ^ desc
+
+            def pick(arr, parr):
+                p = jnp.where(up, parr, _roll(arr, d, axis=0))
+                return jnp.where(take, p, arr)
+
+            pv = _roll(v, -d, axis=0)
+            arrs3 = (pick(k, pm), pick(v, pv), pick(ix, pix))
+        else:
+            mn = jnp.minimum(k, pm)
+            mx = jnp.maximum(k, pm)
+            a = jnp.where(desc, mx, mn)
+            b = jnp.where(desc, mn, mx)
+            arrs3 = (jnp.where(up, a, _roll(b, d, axis=0)),)
+
+    arrs = tuple(a.reshape(rows, LANES) for a in arrs3)
+    # local stages: distance masks depend only on (index mod C), identical
+    # across the C-aligned sub-blocks of the group
+    for pj in range(_log2(C) - 1, -1, -1):
+        arrs = _stage(arrs, 1 << pj, desc)
+    _store(refs, arrs, kv)
+
+
+# rows per array a fused-round group may hold (VMEM: in+out double buffers
+# plus live network temporaries per array)
+MAX_FUSED_ROWS = 16384
+
+
+def _run_fused_round(arrs, C, r, kv, interpret):
+    body = functools.partial(_fused_round_body, C, r, kv)
+    rc_super = (1 << r) * (C // LANES)
+    return _block_call(lambda *refs: body(refs), arrs, rc_super, interpret)
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
+
+
+def _out_shapes(n_arrays, shape):
+    return [jax.ShapeDtypeStruct(shape, jnp.uint32)] * n_arrays
+
+
+def _block_call(body, arrs, rc, interpret):
+    rows_total = arrs[0].shape[0]
+    spec = pl.BlockSpec((rc, LANES), lambda p: (p, 0), memory_space=pltpu.VMEM)
+    n = len(arrs)
+    return pl.pallas_call(
+        body,
+        grid=(rows_total // rc,),
+        in_specs=[spec] * n,
+        out_specs=[spec] * n,
+        out_shape=_out_shapes(n, arrs[0].shape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*arrs)
+
+
+def _run_chunk(arrs, C, kv, interpret):
+    rc = C // LANES
+    budget = MAX_GROUP_STAGES_KV if kv else MAX_GROUP_STAGES
+    for group in _phase_groups(_log2(C), budget):
+        body = functools.partial(
+            _chunk_phases_body, C, group[0], group[-1], kv
+        )
+        arrs = _block_call(lambda *refs: body(refs), arrs, rc, interpret)
+    return arrs
+
+
+def _run_cross(arrs, C, r, kv, interpret):
+    rows_total = arrs[0].shape[0]
+    rc = C // LANES
+    nblocks = rows_total // rc
+    G = 1 << r
+    # power-of-two slice rows >= 8 (Mosaic sublane tiling), sized to a VMEM
+    # budget; a full-rc slice is fine when the chunk itself is tiny
+    if rc <= 8:
+        sr = rc
+    else:
+        budget_rows = max(8, 4096 // (G * len(arrs)))
+        sr = max(8, min(rc, 1 << (budget_rows.bit_length() - 1)))
+    arrs3 = [a.reshape(nblocks, rc, LANES) for a in arrs]
+    spec = pl.BlockSpec(
+        (G, sr, LANES), lambda g, s: (g, s, 0), memory_space=pltpu.VMEM
+    )
+    n = len(arrs)
+    out = pl.pallas_call(
+        lambda *refs: _cross_kernel_body(r, kv, refs),
+        grid=(nblocks // G, rc // sr),
+        in_specs=[spec] * n,
+        out_specs=[spec] * n,
+        out_shape=_out_shapes(n, (nblocks, rc, LANES)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*arrs3)
+    out = out if isinstance(out, (list, tuple)) else [out]
+    return [o.reshape(rows_total, LANES) for o in out]
+
+
+def _run_local(arrs, C, r, kv, interpret):
+    body = functools.partial(_local_kernel_body, C, r, kv)
+    return _block_call(
+        lambda *refs: body(refs), arrs, C // LANES, interpret
+    )
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def _pad_pow2(x, n_padded, fill):
+    n = x.shape[0]
+    fill = jnp.asarray(fill, dtype=x.dtype)
+    if n_padded > n:
+        x = jnp.pad(x, (0, n_padded - n), constant_values=fill)
+    return x.reshape(n_padded // LANES, LANES)
+
+
+def _plan(n: int, chunk: int):
+    """Padded size and chunk size for an n-element sort."""
+    assert chunk >= 2 * LANES and chunk == _next_pow2(chunk), chunk
+    np2 = _next_pow2(max(n, 2 * LANES))
+    C = min(chunk, np2)
+    return np2, C
+
+
+def _sort_padded(arrs, np2, C, kv, interpret):
+    arrs = _run_chunk(arrs, C, kv, interpret)
+    rc = C // LANES
+    for r in range(1, _log2(np2 // C) + 1):
+        if (1 << r) * rc * len(arrs) <= MAX_FUSED_ROWS:
+            arrs = _run_fused_round(arrs, C, r, kv, interpret)
+        else:
+            arrs = _run_cross(arrs, C, r, kv, interpret)
+            arrs = _run_local(arrs, C, r, kv, interpret)
+    return arrs
+
+
+def stage_times(keys, chunk: int = 1 << 18, iters: int = 10,
+                interpret: bool = False) -> dict:
+    """Per-stage seconds — the 15-timestamp analog (reference h.in:39-50).
+
+    The network's stages are chunk (VMEM chunk sort), cross (inter-block
+    distances) and local (per-block cleanup); cross+local repeat once per
+    merge round.
+    """
+    from ..utils.timing import time_fn
+
+    n = keys.shape[0]
+    np2, C = _plan(n, chunk)
+    arrs0 = [_pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF)]
+    nrounds = _log2(np2 // C)
+
+    f_chunk = jax.jit(lambda a: _run_chunk([a], C, False, interpret)[0])
+    t_chunk = time_fn(f_chunk, arrs0[0], iters=iters)
+    a = f_chunk(arrs0[0])
+
+    t_cross = t_local = 0.0
+    for r in range(1, nrounds + 1):
+        f_cross = jax.jit(
+            lambda x, r=r: _run_cross([x], C, r, False, interpret)[0]
+        )
+        t_cross += time_fn(f_cross, a, iters=iters)
+        a = f_cross(a)
+        f_local = jax.jit(
+            lambda x, r=r: _run_local([x], C, r, False, interpret)[0]
+        )
+        t_local += time_fn(f_local, a, iters=iters)
+        a = f_local(a)
+
+    return {
+        "chunk": t_chunk,
+        "cross": t_cross,
+        "local": t_local,
+        "rounds": nrounds,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def sort_u32(keys, *, chunk: int = 1 << 18, interpret: bool = False):
+    """Ascending sort of uint32 keys via the bitonic network engine."""
+    n = keys.shape[0]
+    np2, C = _plan(n, chunk)
+    arrs = [_pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF)]
+    arrs = _sort_padded(arrs, np2, C, False, interpret)
+    return arrs[0].reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def sort_pairs_u32(keys, values, *, chunk: int = 1 << 18,
+                   interpret: bool = False):
+    """Stable key-value sort (values ride as a separate 32-bit buffer)."""
+    n = keys.shape[0]
+    np2, C = _plan(n, chunk)
+    # the index array spans the padded size so pad entries keep increasing
+    # indices (< 2^31) — a 0xffffffff pad would bitcast to -1 and order pad
+    # sentinels BEFORE genuine 0xffffffff keys.
+    idx = jax.lax.iota(jnp.uint32, np2).reshape(np2 // LANES, LANES)
+    arrs = [
+        _pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF),
+        _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0),
+        idx,
+    ]
+    arrs = _sort_padded(arrs, np2, C, True, interpret)
+    k = arrs[0].reshape(-1)[:n]
+    v = arrs[1].reshape(-1)[:n]
+    return k, v

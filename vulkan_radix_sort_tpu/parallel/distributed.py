@@ -34,7 +34,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SortConfig
-from ..ops import radix, reference
+from ..ops import bitonic, radix, reference
 
 AXIS = "x"
 
@@ -49,12 +49,13 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def _local_sort(keys, values=None, config: SortConfig | None = None, use_pallas=False):
+    chunk = config.chunk if config is not None else 1 << 18
     if values is None:
         if use_pallas:
-            return radix.sort_u32(keys, config=config)
+            return bitonic.sort_u32(keys, chunk=chunk)
         return reference.sort_keys(keys)
     if use_pallas:
-        return radix.sort_pairs_u32(keys, values, config=config)
+        return bitonic.sort_pairs_u32(keys, values, chunk=chunk)
     return reference.sort_pairs(keys, values)
 
 

@@ -6,11 +6,11 @@ We add the skewed distributions the TPU build must be robust to (BASELINE
 configs: Zipfian, few-distinct-digits, pre-sorted) — degenerate histograms
 are the hard case for both block-level ranks and distributed bucket balance.
 
-If the native C++ generator (vulkan_radix_sort_tpu/native) is built, it is
-used for the mt19937 streams; otherwise NumPy provides the same
-distributions (not bit-identical to mt19937, but seeded and deterministic —
-the correctness contract only compares two sorts of the *same* data, exactly
-like the reference bench does, bench/bench.cc:41-64).
+All streams are NumPy-seeded and deterministic; bit-exact mt19937 streams
+(the reference's generator) are available separately via
+`vulkan_radix_sort_tpu.native.generate_uniform`. The correctness contract
+only compares two sorts of the *same* data, exactly like the reference
+bench does (bench/bench.cc:41-64), so generator identity is not load-bearing.
 """
 
 from __future__ import annotations

@@ -73,6 +73,29 @@ def time_fn(fn, *args, iters: int = 10, warmup: int = 1, loop_inside: int = 1):
     return float(np.median(ts))
 
 
+def marginal_time(fn, *args, k1: int = 1, k2: int = 4, iters: int = 5):
+    """Seconds per fn application with dispatch overhead cancelled.
+
+    Chains fn k times inside one jitted fori_loop (fn must map its args to a
+    same-shaped result) and reports (T(k2) - T(k1)) / (k2 - k1). This is the
+    robust way to time on this environment: the tunnel's fixed dispatch+sync
+    latency (~26-65 ms, and it drifts) divides out exactly.
+    """
+
+    def looped(k):
+        @jax.jit
+        def f(*a):
+            if len(a) == 1:
+                return jax.lax.fori_loop(0, k, lambda _, c: fn(c), a[0])
+            return jax.lax.fori_loop(0, k, lambda _, c: tuple(fn(*c)), a)
+
+        return f
+
+    t1 = time_fn(looped(k1), *args, iters=iters, warmup=1)
+    t2 = time_fn(looped(k2), *args, iters=iters, warmup=1)
+    return max((t2 - t1) / (k2 - k1), 1e-9)
+
+
 def measure_overhead() -> float:
     """Fixed dispatch+sync latency of a trivial program (seconds)."""
     x = jax.numpy.zeros((8,), jax.numpy.uint32)
