@@ -29,7 +29,7 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        chunk = 1 << 18
+        chunk = 1 << 16  # measured optimum at N=2^25 (tools/microbench.py scans)
         sort = lambda a: bitonic.sort_u32(a, chunk=chunk)  # noqa: E731
         backend = "network"
     else:

@@ -62,7 +62,7 @@ class SortConfig:
     flush_rows: int = FLUSH_ROWS
     # VMEM-resident chunk size of the bitonic network backend (keys per
     # chunk kernel invocation); must be a power of two >= 256.
-    chunk: int = 1 << 18
+    chunk: int = 1 << 16
     # 'network' (bitonic CE engine, the TPU hot path) | 'radix' (Pallas LSD
     # radix pipeline) | 'xla' (lax.sort) | 'auto' (network on TPU, xla off)
     backend: str = "auto"

@@ -90,25 +90,20 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % x.shape[axis], axis=axis)
 
 
-def _stage(arrs, j, desc):
-    """One compare-exchange stage at distance j over row-major flat index.
+def _stage_ce(arrs, axis, sh, up):
+    """One ASCENDING compare-exchange at roll distance sh along axis.
 
-    arrs: (key,) order-flipped int32, or (key, value, index) for the stable
-    KV path. j: static power-of-two distance. desc: mask (or scalar bool)
-    of descending regions for the current phase.
+    Directions are handled outside via the negation trick: descending
+    regions run with bitwise-NOTed keys (and index tiebreaks), so every
+    stage is a plain ascending min/max — two ops cheaper per stage than
+    per-stage direction selects.
     """
-    axis, sh = (1, j) if j < LANES else (0, j // LANES)
-    shape = arrs[0].shape
-    up = (_iota(shape, axis) & sh) == 0
-
     if len(arrs) == 1:
         (x,) = arrs
         pm = _roll(x, -sh, axis=axis)  # partner for 'up' slots: x[i+j]
         mn = jnp.minimum(x, pm)
         mx = jnp.maximum(x, pm)
-        a = jnp.where(desc, mx, mn)  # value for up slot
-        b = jnp.where(desc, mn, mx)  # down-slot value (computed at up slot)
-        return (jnp.where(up, a, _roll(b, sh, axis=axis)),)
+        return (jnp.where(up, mn, _roll(mx, sh, axis=axis)),)
 
     k, v, ix = arrs
     pk = _roll(k, -sh, axis=axis)
@@ -119,7 +114,7 @@ def _stage(arrs, j, desc):
     )  # partner-before-mine
     # take(i): up slot takes partner iff partner sorts first (asc);
     # down slot i takes partner iff partner-of-up-slot(i-j) sorted first
-    take = (jnp.where(up, lt, _roll(lt, sh, axis=axis)) > 0) ^ desc
+    take = jnp.where(up, lt, _roll(lt, sh, axis=axis)) > 0
 
     def pick(arr, parr):
         p = jnp.where(up, parr, _roll(arr, sh, axis=axis))
@@ -129,11 +124,36 @@ def _stage(arrs, j, desc):
     return (pick(k, pk), pick(v, pv), pick(ix, pix))
 
 
-def _desc_static(shape, k):
-    """(flat_index & k) != 0 for static k < C (block-local)."""
+def _stage(arrs, j):
+    """Ascending CE stage at distance j over the row-major flat index."""
+    axis, sh = (1, j) if j < LANES else (0, j // LANES)
+    up = (_iota(arrs[0].shape, axis) & sh) == 0
+    return _stage_ce(arrs, axis, sh, up)
+
+
+def _desc_m32(shape, k):
+    """int32 mask: -1 where bit log2(k) of the flat index is set, else 0.
+
+    Computed with two shifts (no compare/select): broadcast bit t of the
+    axis iota arithmetically to all 32 bits.
+    """
+    t = _log2(k)
     if k < LANES:
-        return (_iota(shape, 1) & k) != 0
-    return (_iota(shape, 0) & (k // LANES)) != 0
+        i = _iota(shape, 1)
+    else:
+        i = _iota(shape, 0)
+        t -= ROW_BITS
+    # int32 >> is arithmetic: broadcast bit t to all 32 bits
+    return (i << (31 - t)) >> 31
+
+
+def _negate(arrs, m32):
+    """XOR keys (and the index tiebreak) with a -1/0 mask: descending
+    regions sort ascending on NOTed values. Payload values are untouched."""
+    if len(arrs) == 1:
+        return (arrs[0] ^ m32,)
+    k, v, ix = arrs
+    return (k ^ m32, v, ix ^ m32)
 
 
 def _load(refs, kv):
@@ -166,16 +186,22 @@ def _chunk_phases_body(C, pk_lo, pk_hi, kv, refs):
     arrs = _load(refs, kv)
     shape = arrs[0].shape
     lc = _log2(C)
+    m_prev = jnp.int32(0)
     for pk in range(pk_lo, pk_hi + 1):
-        kphase = 1 << pk
         if pk == lc:
             # final phase: direction is bit log2(C) of the global index,
             # i.e. chunk parity — even chunks ascend, odd descend.
-            desc = (pl.program_id(0) & 1) == 1
+            m = jnp.where(
+                (pl.program_id(0) & 1) == 1, jnp.int32(-1), jnp.int32(0)
+            )
         else:
-            desc = _desc_static(shape, kphase)
+            m = _desc_m32(shape, 1 << pk)
+        # enter this phase's negation (XOR transitions compose)
+        arrs = _negate(arrs, m ^ m_prev)
         for pj in range(pk - 1, -1, -1):
-            arrs = _stage(arrs, 1 << pj, desc)
+            arrs = _stage(arrs, 1 << pj)
+        m_prev = m
+    arrs = _negate(arrs, m_prev)  # restore
     _store(refs, arrs, kv)
 
 
@@ -199,40 +225,24 @@ def _phase_groups(lc: int, budget: int):
 # --------------------------------------------------------------------------
 
 
+def _scalar_m32(pred):
+    return jnp.where(pred, jnp.int32(-1), jnp.int32(0))
+
+
 def _cross_kernel_body(r, kv, refs):
     """refs blocks are (G=2^r, SR, 128); stage distances are along dim 0."""
     arrs = _load(refs, kv)
     G = arrs[0].shape[0]
     assert G == 1 << r
-    desc = (pl.program_id(0) & 1) == 1  # bit log2(C)+r of the global index
+    # bit log2(C)+r of the global index = group parity, scalar
+    m = _scalar_m32((pl.program_id(0) & 1) == 1)
+    arrs = _negate(arrs, m)
     shape = arrs[0].shape
-
     for t in range(r - 1, -1, -1):
         d = 1 << t
         up = (_iota(shape, 0) & d) == 0
-        k = arrs[0]
-        pm = _roll(k, -d, axis=0)
-        if kv:
-            _, v, ix = arrs
-            pix = _roll(ix, -d, axis=0)
-            lt = jnp.where(
-                (pm < k) | ((pm == k) & (pix < ix)), jnp.int32(1), jnp.int32(0)
-            )
-            take = (jnp.where(up, lt, _roll(lt, d, axis=0)) > 0) ^ desc
-
-            def pick(arr, parr):
-                p = jnp.where(up, parr, _roll(arr, d, axis=0))
-                return jnp.where(take, p, arr)
-
-            pv = _roll(v, -d, axis=0)
-            arrs = (pick(k, pm), pick(v, pv), pick(ix, pix))
-        else:
-            mn = jnp.minimum(k, pm)
-            mx = jnp.maximum(k, pm)
-            a = jnp.where(desc, mx, mn)
-            b = jnp.where(desc, mn, mx)
-            arrs = (jnp.where(up, a, _roll(b, d, axis=0)),)
-
+        arrs = _stage_ce(arrs, 0, d, up)
+    arrs = _negate(arrs, m)
     _store(refs, arrs, kv)
 
 
@@ -243,9 +253,12 @@ def _cross_kernel_body(r, kv, refs):
 
 def _local_kernel_body(C, r, kv, refs):
     arrs = _load(refs, kv)
-    desc = ((pl.program_id(0) >> r) & 1) == 1  # bit log2(C)+r of global idx
+    # bit log2(C)+r of the global index, scalar per block
+    m = _scalar_m32(((pl.program_id(0) >> r) & 1) == 1)
+    arrs = _negate(arrs, m)
     for pj in range(_log2(C) - 1, -1, -1):
-        arrs = _stage(arrs, 1 << pj, desc)
+        arrs = _stage(arrs, 1 << pj)
+    arrs = _negate(arrs, m)
     _store(refs, arrs, kv)
 
 
@@ -263,41 +276,22 @@ def _fused_round_body(C, r, kv, refs):
     # for both the cross stages (bit log2(C)+r of the global index) and the
     # local stages the direction bit reduces to the group parity: block
     # B = g*2^r + b with b < 2^r gives (B >> r) & 1 == g & 1.
-    desc = (pl.program_id(0) & 1) == 1
+    m = _scalar_m32((pl.program_id(0) & 1) == 1)
+    arrs = _negate(arrs, m)
 
     arrs3 = tuple(a.reshape(G, rc, LANES) for a in arrs)
     shape3 = arrs3[0].shape
     for t in range(r - 1, -1, -1):
         d = 1 << t
         up = (_iota(shape3, 0) & d) == 0
-        k = arrs3[0]
-        pm = _roll(k, -d, axis=0)
-        if kv:
-            _, v, ix = arrs3
-            pix = _roll(ix, -d, axis=0)
-            lt = jnp.where(
-                (pm < k) | ((pm == k) & (pix < ix)), jnp.int32(1), jnp.int32(0)
-            )
-            take = (jnp.where(up, lt, _roll(lt, d, axis=0)) > 0) ^ desc
-
-            def pick(arr, parr):
-                p = jnp.where(up, parr, _roll(arr, d, axis=0))
-                return jnp.where(take, p, arr)
-
-            pv = _roll(v, -d, axis=0)
-            arrs3 = (pick(k, pm), pick(v, pv), pick(ix, pix))
-        else:
-            mn = jnp.minimum(k, pm)
-            mx = jnp.maximum(k, pm)
-            a = jnp.where(desc, mx, mn)
-            b = jnp.where(desc, mn, mx)
-            arrs3 = (jnp.where(up, a, _roll(b, d, axis=0)),)
+        arrs3 = _stage_ce(arrs3, 0, d, up)
 
     arrs = tuple(a.reshape(rows, LANES) for a in arrs3)
     # local stages: distance masks depend only on (index mod C), identical
     # across the C-aligned sub-blocks of the group
     for pj in range(_log2(C) - 1, -1, -1):
-        arrs = _stage(arrs, 1 << pj, desc)
+        arrs = _stage(arrs, 1 << pj)
+    arrs = _negate(arrs, m)
     _store(refs, arrs, kv)
 
 
@@ -422,7 +416,7 @@ def _sort_padded(arrs, np2, C, kv, interpret):
     return arrs
 
 
-def stage_times(keys, chunk: int = 1 << 18, iters: int = 10,
+def stage_times(keys, chunk: int = 1 << 16, iters: int = 10,
                 interpret: bool = False) -> dict:
     """Per-stage seconds — the 15-timestamp analog (reference h.in:39-50).
 
@@ -463,7 +457,7 @@ def stage_times(keys, chunk: int = 1 << 18, iters: int = 10,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def sort_u32(keys, *, chunk: int = 1 << 18, interpret: bool = False):
+def sort_u32(keys, *, chunk: int = 1 << 16, interpret: bool = False):
     """Ascending sort of uint32 keys via the bitonic network engine."""
     n = keys.shape[0]
     np2, C = _plan(n, chunk)
@@ -473,7 +467,7 @@ def sort_u32(keys, *, chunk: int = 1 << 18, interpret: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def sort_pairs_u32(keys, values, *, chunk: int = 1 << 18,
+def sort_pairs_u32(keys, values, *, chunk: int = 1 << 16,
                    interpret: bool = False):
     """Stable key-value sort (values ride as a separate 32-bit buffer)."""
     n = keys.shape[0]

@@ -49,7 +49,7 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def _local_sort(keys, values=None, config: SortConfig | None = None, use_pallas=False):
-    chunk = config.chunk if config is not None else 1 << 18
+    chunk = config.chunk if config is not None else 1 << 16
     if values is None:
         if use_pallas:
             return bitonic.sort_u32(keys, chunk=chunk)
