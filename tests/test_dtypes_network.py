@@ -1,0 +1,61 @@
+"""Key-dtype families through the network backend (interpret mode).
+
+The reference sorts uint32 only (include/vk_radix_sort.h:52-81); the
+framework widens to int32/float32 via order-preserving encodings
+(ops/bitops.py). These tests pin the encoding + network composition.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import vulkan_radix_sort_tpu as vrs
+from vulkan_radix_sort_tpu.config import SortConfig
+
+CFG = SortConfig(backend="network", chunk=1 << 12, interpret=True)
+
+
+def test_int32_keys(rng):
+    n = 5000
+    keys = rng.integers(-(2**31), 2**31, size=n).astype(np.int32)
+    s = vrs.Sorter(n, key_dtype=np.int32, config=CFG)
+    got = np.asarray(s.sort(jnp.asarray(keys)))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_float32_keys_special_values(rng):
+    n = 4096
+    keys = rng.standard_normal(n).astype(np.float32)
+    keys[:8] = [0.0, -0.0, np.inf, -np.inf, 1e-38, -1e-38, 3.4e38, -3.4e38]
+    s = vrs.Sorter(n, key_dtype=np.float32, config=CFG)
+    got = np.asarray(s.sort(jnp.asarray(keys)))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_uint32_kv_stable_network(rng):
+    n = 3000
+    keys = (rng.integers(0, 2**32, size=n, dtype=np.uint64) % 5).astype(np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    s = vrs.Sorter(n, config=CFG)
+    k, v = s.sort_key_value(jnp.asarray(keys), jnp.asarray(vals))
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_indirect_count_network(rng):
+    n, m = 4096, 1234
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    s = vrs.Sorter(n, config=CFG)
+    got = np.asarray(s.sort(jnp.asarray(keys), count=m))
+    np.testing.assert_array_equal(got[:m], np.sort(keys[:m]))
+    np.testing.assert_array_equal(got[m:], keys[m:])
+
+
+@pytest.mark.parametrize("backend", ["network", "xla"])
+def test_one_shot_api(rng, backend):
+    n = 2048
+    cfg = SortConfig(backend=backend, chunk=1 << 11, interpret=True)
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(vrs.sort(jnp.asarray(keys), config=cfg))
+    np.testing.assert_array_equal(got, np.sort(keys))

@@ -268,41 +268,94 @@ def _local_kernel_body(C, r, kv, refs):
 # --------------------------------------------------------------------------
 
 
-def _fused_round_body(C, r, kv, refs):
+def _fused_rounds_body(C, r_lo, r_hi, kv, refs):
+    """Merge rounds r_lo..r_hi in one pass over a 2^r_hi-block group.
+
+    A group of 2^g aligned blocks contains every pair interaction of rounds
+    r <= g, so all of those rounds' cross AND local stages run back-to-back
+    on the VMEM-resident group — one HBM round trip for g rounds instead of
+    up to 2g.
+    """
     arrs = _load(refs, kv)  # (G*rc, LANES), one whole group
-    G = 1 << r
+    G = 1 << r_hi
     rows = arrs[0].shape[0]
     rc = rows // G
-    # for both the cross stages (bit log2(C)+r of the global index) and the
-    # local stages the direction bit reduces to the group parity: block
-    # B = g*2^r + b with b < 2^r gives (B >> r) & 1 == g & 1.
-    m = _scalar_m32((pl.program_id(0) & 1) == 1)
-    arrs = _negate(arrs, m)
+    lrc = _log2(rc)
+    shape = arrs[0].shape
 
-    arrs3 = tuple(a.reshape(G, rc, LANES) for a in arrs)
-    shape3 = arrs3[0].shape
-    for t in range(r - 1, -1, -1):
-        d = 1 << t
-        up = (_iota(shape3, 0) & d) == 0
-        arrs3 = _stage_ce(arrs3, 0, d, up)
+    m_prev = jnp.int32(0)
+    for r in range(r_lo, r_hi + 1):
+        # direction of round r = bit log2(C)+r of the global index. Block
+        # B = g*2^r_hi + b: for r < r_hi that is bit r of b (varies within
+        # the group, a row mask); for r = r_hi it is the group parity.
+        if r == r_hi:
+            m = _scalar_m32((pl.program_id(0) & 1) == 1)
+        else:
+            # bit (lrc + r) of the flat row index, broadcast to 32 bits
+            m = (_iota(shape, 0) << (31 - (lrc + r))) >> 31
+        arrs = _negate(arrs, m ^ m_prev)
 
-    arrs = tuple(a.reshape(rows, LANES) for a in arrs3)
-    # local stages: distance masks depend only on (index mod C), identical
-    # across the C-aligned sub-blocks of the group
-    for pj in range(_log2(C) - 1, -1, -1):
-        arrs = _stage(arrs, 1 << pj)
-    arrs = _negate(arrs, m)
+        # cross stages of round r: block distances 2^(r-1)..1
+        arrs3 = tuple(a.reshape(G, rc, LANES) for a in arrs)
+        shape3 = arrs3[0].shape
+        for t in range(r - 1, -1, -1):
+            d = 1 << t
+            up = (_iota(shape3, 0) & d) == 0
+            arrs3 = _stage_ce(arrs3, 0, d, up)
+        arrs = tuple(a.reshape(rows, LANES) for a in arrs3)
+
+        # local stages: distance masks depend only on (index mod C),
+        # identical across the C-aligned sub-blocks of the group
+        for pj in range(_log2(C) - 1, -1, -1):
+            arrs = _stage(arrs, 1 << pj)
+        m_prev = m
+
+    arrs = _negate(arrs, m_prev)
     _store(refs, arrs, kv)
 
 
-# rows per array a fused-round group may hold (VMEM: in+out double buffers
-# plus live network temporaries per array)
+# rows-per-array ceiling for a fused group (VMEM holds in+out double
+# buffers plus a few live network temporaries per array)
 MAX_FUSED_ROWS = 16384
 
+# Mosaic emits per-vreg instructions, so kernel compile time scales with
+# (stages x block rows); cap that product or multi-round fused kernels take
+# 5-10 minutes to compile for a ~1% runtime gain
+FUSE_COST_CAP = 48 * 1024  # row-stages, ~the 91-stage/512-row chunk kernel
 
-def _run_fused_round(arrs, C, r, kv, interpret):
-    body = functools.partial(_fused_round_body, C, r, kv)
-    rc_super = (1 << r) * (C // LANES)
+
+def _fused_round_plan(C, nrounds, n_arrays, budget):
+    """Group consecutive rounds into fused kernels under VMEM, stage, and
+    compile-cost budgets; returns [(r_lo, r_hi)] and the first unfused
+    round."""
+    rc = C // LANES
+    lc = _log2(C)
+    plan = []
+    r = 1
+    while r <= nrounds and (1 << r) * rc * n_arrays <= MAX_FUSED_ROWS:
+        # extend r_hi while VMEM, stage and compile budgets all allow
+        r_hi = r
+        stages = r + lc
+        while True:
+            nxt = r_hi + 1
+            rows_nxt = (1 << nxt) * rc
+            if (
+                nxt > nrounds
+                or rows_nxt * n_arrays > MAX_FUSED_ROWS
+                or stages + (nxt + lc) > budget
+                or (stages + nxt + lc) * rows_nxt > FUSE_COST_CAP
+            ):
+                break
+            r_hi = nxt
+            stages += nxt + lc
+        plan.append((r, r_hi))
+        r = r_hi + 1
+    return plan, r
+
+
+def _run_fused_rounds(arrs, C, r_lo, r_hi, kv, interpret):
+    body = functools.partial(_fused_rounds_body, C, r_lo, r_hi, kv)
+    rc_super = (1 << r_hi) * (C // LANES)
     return _block_call(lambda *refs: body(refs), arrs, rc_super, interpret)
 
 
@@ -406,13 +459,14 @@ def _plan(n: int, chunk: int):
 
 def _sort_padded(arrs, np2, C, kv, interpret):
     arrs = _run_chunk(arrs, C, kv, interpret)
-    rc = C // LANES
-    for r in range(1, _log2(np2 // C) + 1):
-        if (1 << r) * rc * len(arrs) <= MAX_FUSED_ROWS:
-            arrs = _run_fused_round(arrs, C, r, kv, interpret)
-        else:
-            arrs = _run_cross(arrs, C, r, kv, interpret)
-            arrs = _run_local(arrs, C, r, kv, interpret)
+    nrounds = _log2(np2 // C)
+    budget = MAX_GROUP_STAGES_KV if kv else MAX_GROUP_STAGES
+    plan, r_next = _fused_round_plan(C, nrounds, len(arrs), budget)
+    for r_lo, r_hi in plan:
+        arrs = _run_fused_rounds(arrs, C, r_lo, r_hi, kv, interpret)
+    for r in range(r_next, nrounds + 1):
+        arrs = _run_cross(arrs, C, r, kv, interpret)
+        arrs = _run_local(arrs, C, r, kv, interpret)
     return arrs
 
 
@@ -436,7 +490,16 @@ def stage_times(keys, chunk: int = 1 << 16, iters: int = 10,
     a = f_chunk(arrs0[0])
 
     t_cross = t_local = 0.0
-    for r in range(1, nrounds + 1):
+    plan, r_next = _fused_round_plan(C, nrounds, 1, MAX_GROUP_STAGES)
+    for r_lo, r_hi in plan:
+        f_f = jax.jit(
+            lambda x, a_=r_lo, b_=r_hi: _run_fused_rounds(
+                [x], C, a_, b_, False, interpret
+            )[0]
+        )
+        t_cross += time_fn(f_f, a, iters=iters)
+        a = f_f(a)
+    for r in range(r_next, nrounds + 1):
         f_cross = jax.jit(
             lambda x, r=r: _run_cross([x], C, r, False, interpret)[0]
         )

@@ -73,13 +73,18 @@ def time_fn(fn, *args, iters: int = 10, warmup: int = 1, loop_inside: int = 1):
     return float(np.median(ts))
 
 
-def marginal_time(fn, *args, k1: int = 1, k2: int = 4, iters: int = 5):
+def marginal_time(fn, *args, k1: int = 1, k2: int = 4, iters: int = 5,
+                  min_delta: float = 0.04, max_k: int = 512):
     """Seconds per fn application with dispatch overhead cancelled.
 
     Chains fn k times inside one jitted fori_loop (fn must map its args to a
     same-shaped result) and reports (T(k2) - T(k1)) / (k2 - k1). This is the
     robust way to time on this environment: the tunnel's fixed dispatch+sync
     latency (~26-65 ms, and it drifts) divides out exactly.
+
+    The spread k2-k1 grows adaptively until the time delta clears
+    `min_delta` seconds, so sub-millisecond sorts still resolve above the
+    few-ms dispatch jitter.
     """
 
     def looped(k):
@@ -93,6 +98,12 @@ def marginal_time(fn, *args, k1: int = 1, k2: int = 4, iters: int = 5):
 
     t1 = time_fn(looped(k1), *args, iters=iters, warmup=1)
     t2 = time_fn(looped(k2), *args, iters=iters, warmup=1)
+    if t2 - t1 < min_delta and k2 < max_k:
+        # one refinement: pick the k that should clear min_delta (avoids a
+        # doubling loop — every distinct k costs an outer-jit compile)
+        est = max((t2 - t1) / (k2 - k1), 1e-5)
+        k2 = min(max_k, k1 + max(k2 - k1, int(min_delta / est) + 1))
+        t2 = time_fn(looped(k2), *args, iters=iters, warmup=1)
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
