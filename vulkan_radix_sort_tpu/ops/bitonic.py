@@ -353,10 +353,12 @@ def _fused_round_plan(C, nrounds, n_arrays, budget):
     return plan, r
 
 
-def _run_fused_rounds(arrs, C, r_lo, r_hi, kv, interpret):
+def _run_fused_rounds(arrs, C, r_lo, r_hi, kv, interpret, real_rows=None):
     body = functools.partial(_fused_rounds_body, C, r_lo, r_hi, kv)
     rc_super = (1 << r_hi) * (C // LANES)
-    return _block_call(lambda *refs: body(refs), arrs, rc_super, interpret)
+    return _block_call(
+        lambda *refs: body(refs), arrs, rc_super, interpret, real_rows
+    )
 
 
 # --------------------------------------------------------------------------
@@ -368,16 +370,31 @@ def _out_shapes(n_arrays, shape):
     return [jax.ShapeDtypeStruct(shape, jnp.uint32)] * n_arrays
 
 
-def _block_call(body, arrs, rc, interpret):
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _block_call(body, arrs, rc, interpret, real_rows=None):
+    """Per-block kernel over the leading `real_rows` only.
+
+    Inputs are aliased to outputs, so blocks past the real-data prefix (pure
+    sentinel padding, which every network stage maps to itself) skip both
+    compute and HBM traffic — non-power-of-two sizes stop paying for their
+    padding.
+    """
     rows_total = arrs[0].shape[0]
+    nblocks = rows_total // rc
+    if real_rows is not None:
+        nblocks = min(nblocks, _cdiv(real_rows, rc))
     spec = pl.BlockSpec((rc, LANES), lambda p: (p, 0), memory_space=pltpu.VMEM)
     n = len(arrs)
     return pl.pallas_call(
         body,
-        grid=(rows_total // rc,),
+        grid=(nblocks,),
         in_specs=[spec] * n,
         out_specs=[spec] * n,
         out_shape=_out_shapes(n, arrs[0].shape),
+        input_output_aliases={i: i for i in range(n)},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=VMEM_LIMIT,
@@ -386,21 +403,26 @@ def _block_call(body, arrs, rc, interpret):
     )(*arrs)
 
 
-def _run_chunk(arrs, C, kv, interpret):
+def _run_chunk(arrs, C, kv, interpret, real_rows=None):
     rc = C // LANES
     budget = MAX_GROUP_STAGES_KV if kv else MAX_GROUP_STAGES
     for group in _phase_groups(_log2(C), budget):
         body = functools.partial(
             _chunk_phases_body, C, group[0], group[-1], kv
         )
-        arrs = _block_call(lambda *refs: body(refs), arrs, rc, interpret)
+        arrs = _block_call(
+            lambda *refs: body(refs), arrs, rc, interpret, real_rows
+        )
     return arrs
 
 
-def _run_cross(arrs, C, r, kv, interpret):
+def _run_cross(arrs, C, r, kv, interpret, real_rows=None):
     rows_total = arrs[0].shape[0]
     rc = C // LANES
     nblocks = rows_total // rc
+    ngroups = nblocks >> r
+    if real_rows is not None:
+        ngroups = min(ngroups, _cdiv(real_rows, rc << r))
     G = 1 << r
     # power-of-two slice rows >= 8 (Mosaic sublane tiling), sized to a VMEM
     # budget; a full-rc slice is fine when the chunk itself is tiny
@@ -416,10 +438,11 @@ def _run_cross(arrs, C, r, kv, interpret):
     n = len(arrs)
     out = pl.pallas_call(
         lambda *refs: _cross_kernel_body(r, kv, refs),
-        grid=(nblocks // G, rc // sr),
+        grid=(ngroups, rc // sr),
         in_specs=[spec] * n,
         out_specs=[spec] * n,
         out_shape=_out_shapes(n, (nblocks, rc, LANES)),
+        input_output_aliases={i: i for i in range(n)},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=VMEM_LIMIT,
@@ -430,10 +453,10 @@ def _run_cross(arrs, C, r, kv, interpret):
     return [o.reshape(rows_total, LANES) for o in out]
 
 
-def _run_local(arrs, C, r, kv, interpret):
+def _run_local(arrs, C, r, kv, interpret, real_rows=None):
     body = functools.partial(_local_kernel_body, C, r, kv)
     return _block_call(
-        lambda *refs: body(refs), arrs, C // LANES, interpret
+        lambda *refs: body(refs), arrs, C // LANES, interpret, real_rows
     )
 
 
@@ -457,16 +480,16 @@ def _plan(n: int, chunk: int):
     return np2, C
 
 
-def _sort_padded(arrs, np2, C, kv, interpret):
-    arrs = _run_chunk(arrs, C, kv, interpret)
+def _sort_padded(arrs, np2, C, kv, interpret, real_rows=None):
+    arrs = _run_chunk(arrs, C, kv, interpret, real_rows)
     nrounds = _log2(np2 // C)
     budget = MAX_GROUP_STAGES_KV if kv else MAX_GROUP_STAGES
     plan, r_next = _fused_round_plan(C, nrounds, len(arrs), budget)
     for r_lo, r_hi in plan:
-        arrs = _run_fused_rounds(arrs, C, r_lo, r_hi, kv, interpret)
+        arrs = _run_fused_rounds(arrs, C, r_lo, r_hi, kv, interpret, real_rows)
     for r in range(r_next, nrounds + 1):
-        arrs = _run_cross(arrs, C, r, kv, interpret)
-        arrs = _run_local(arrs, C, r, kv, interpret)
+        arrs = _run_cross(arrs, C, r, kv, interpret, real_rows)
+        arrs = _run_local(arrs, C, r, kv, interpret, real_rows)
     return arrs
 
 
@@ -525,7 +548,7 @@ def sort_u32(keys, *, chunk: int = 1 << 16, interpret: bool = False):
     n = keys.shape[0]
     np2, C = _plan(n, chunk)
     arrs = [_pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF)]
-    arrs = _sort_padded(arrs, np2, C, False, interpret)
+    arrs = _sort_padded(arrs, np2, C, False, interpret, _cdiv(n, LANES))
     return arrs[0].reshape(-1)[:n]
 
 
@@ -535,16 +558,20 @@ def sort_pairs_u32(keys, values, *, chunk: int = 1 << 16,
     """Stable key-value sort (values ride as a separate 32-bit buffer)."""
     n = keys.shape[0]
     np2, C = _plan(n, chunk)
-    # the index array spans the padded size so pad entries keep increasing
-    # indices (< 2^31) — a 0xffffffff pad would bitcast to -1 and order pad
-    # sentinels BEFORE genuine 0xffffffff keys.
-    idx = jax.lax.iota(jnp.uint32, np2).reshape(np2 // LANES, LANES)
+    # pad index entries are a CONSTANT 0x7fffffff: bigger than any real
+    # index (so genuine 0xffffffff keys sort ahead of the pad sentinels)
+    # and mutually equal, which makes every network stage map pure-sentinel
+    # regions to themselves — the skipped-block aliasing relies on that.
+    iot = jax.lax.iota(jnp.uint32, np2)
+    idx = jnp.where(iot < n, iot, jnp.uint32(0x7FFFFFFF)).reshape(
+        np2 // LANES, LANES
+    )
     arrs = [
         _pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF),
         _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0),
         idx,
     ]
-    arrs = _sort_padded(arrs, np2, C, True, interpret)
+    arrs = _sort_padded(arrs, np2, C, True, interpret, _cdiv(n, LANES))
     k = arrs[0].reshape(-1)[:n]
     v = arrs[1].reshape(-1)[:n]
     return k, v
