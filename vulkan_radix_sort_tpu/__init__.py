@@ -1,13 +1,16 @@
-"""vulkan_radix_sort_tpu — a TPU-native radix-sort execution engine.
+"""vulkan_radix_sort_tpu — a TPU-native sort-execution engine.
 
 A from-scratch JAX/XLA/Pallas re-design of the capability set of
 jaesung-cs/vulkan_radix_sort (a Vulkan reduce-then-scan LSD radix sorter for
-32-bit keys and key-value pairs): stable LSD radix sort decomposed into
-Pallas TPU kernels (block-sort upsweep, jnp spine, streaming-placement
-downsweep), a cached-pipeline Sorter API mirroring the reference's seven
-vrdx* entry points, dynamic element counts (the "indirect" path), a
-multi-chip distributed sort over a jax.sharding.Mesh, and a benchmark
-harness replicating the reference's sweep/verification methodology.
+32-bit keys and key-value pairs). The TPU hot path is a bitonic
+compare-exchange network over VMEM-resident chunks (ops/bitonic.py) — the
+measured-fastest exact sort on this hardware (docs/DESIGN.md) — with a
+Pallas LSD radix pipeline and lax.sort as alternative backends, a
+cached-pipeline Sorter API mirroring the reference's seven vrdx* entry
+points, stable key-value sorting with values as a separate 32-bit buffer,
+dynamic element counts (the "indirect" path), a multi-chip distributed sort
+over a jax.sharding.Mesh, a native C++ host engine, and a benchmark harness
+replicating the reference's sweep/verification methodology.
 """
 
 from .config import SortConfig, default_config

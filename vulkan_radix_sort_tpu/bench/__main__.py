@@ -30,6 +30,9 @@ def main(argv=None) -> int:
                    choices=list(datagen.DISTRIBUTIONS))
     p.add_argument("--interpret", action="store_true",
                    help="run Pallas kernels interpreted (validation mode)")
+    p.add_argument("--indirect", action="store_true",
+                   help="route sorts through the dynamic-count path "
+                        "(reference indirect API, vulkan_benchmark.cc:386)")
     args = p.parse_args(argv)
 
     cfg = SortConfig(backend=args.backend, interpret=args.interpret)
@@ -44,7 +47,7 @@ def main(argv=None) -> int:
     results = run_sweep(
         args.backend, steps=args.steps, iters=args.iters,
         no_verify=args.no_verify, distribution=args.distribution,
-        config=cfg, progress=progress,
+        config=cfg, indirect=args.indirect, progress=progress,
     )
     if args.output:
         write_csv(args.output, results)

@@ -4,10 +4,11 @@ Re-creates the reference benchmark methodology (reference: bench/bench.cc):
   - N sweep from 2^18 to 2^25 in linear steps, keys-only and key-value each
     (bench.cc:15-20,168); step count configurable because TPU compile time
     per padded-size bucket is nontrivial.
-  - 1 warmup + `iters` timed runs, median reported (bench.cc:15-16,97-101),
-    with the fixed dispatch+sync latency of the environment measured once
-    and subtracted (the analog of timing GPU timestamps instead of wall
-    clock, vulkan_benchmark.cc:318-337).
+  - 1 warmup + `iters` timed runs, median reported (bench.cc:15-16,97-101);
+    device time comes from chained-iteration marginal cost so the
+    environment's fixed dispatch+sync latency divides out (the analog of
+    timing GPU timestamps instead of wall clock,
+    vulkan_benchmark.cc:318-337).
   - correctness gate at the first sweep point: element-wise equality against
     the CPU oracle for both keys and key-value (bench.cc:41-64,164-166),
     skippable with no_verify.
@@ -26,7 +27,7 @@ import numpy as np
 from .. import __version__
 from ..config import SortConfig
 from ..utils import datagen
-from ..utils.timing import marginal_time, measure_overhead, time_fn
+from ..utils.timing import marginal_time, time_fn
 
 N_MIN = 1 << 18  # reference bench.cc:17
 N_MAX = 1 << 25  # reference bench.cc:18
@@ -38,7 +39,7 @@ class BenchResult:
     backend: str
     n: int
     sort: str  # 'keys' | 'kv'
-    gpu_ms: float  # device time (overhead-subtracted wall clock)
+    gpu_ms: float  # device time (chained-iteration marginal cost)
     cpu_ms: float  # raw wall clock
     gpu_gitems_s: float
     cpu_gitems_s: float
@@ -81,12 +82,27 @@ class _JaxBackend:
         s = self._sorter(keys.shape[0])
         return np.asarray(s.sort(jnp.asarray(keys)))
 
-    def timed_fn(self, keys: np.ndarray, values: np.ndarray | None):
+    def timed_fn(self, keys: np.ndarray, values: np.ndarray | None,
+                 indirect: bool = False):
         import jax.numpy as jnp
 
         s = self._sorter(keys.shape[0])
         if values is None:
+            if indirect:
+                # dynamic-count path with count == n (the reference's KV
+                # bench exercises its indirect API the same way,
+                # vulkan_benchmark.cc:386-388)
+                n = jnp.uint32(keys.shape[0])
+                return (
+                    lambda k: s._sort_count_fn(k, n), (jnp.asarray(keys),)
+                )
             return s._sort_fn, (jnp.asarray(keys),)
+        if indirect:
+            n = jnp.uint32(keys.shape[0])
+            return (
+                lambda k, v: s._sort_pairs_count_fn(k, v, n),
+                (jnp.asarray(keys), jnp.asarray(values)),
+            )
         return s._sort_pairs_fn, (jnp.asarray(keys), jnp.asarray(values))
 
     def sort_key_value(self, keys, values):
@@ -175,8 +191,8 @@ def check_correctness(backend, n: int, seed: int = 0,
 
 
 def measure(backend, n: int, sort: str, *, iters: int = 10, seed: int = 0,
-            distribution: str = "uniform",
-            overhead: float = 0.0) -> BenchResult:
+            distribution: str = "uniform", indirect: bool = False
+            ) -> BenchResult:
     """1 warmup + iters timed runs, median (reference bench.cc:66-101)."""
     keys = datagen.generate_keys(n, seed=seed, distribution=distribution)
     values = (
@@ -192,7 +208,7 @@ def measure(backend, n: int, sort: str, *, iters: int = 10, seed: int = 0,
         cpu_s = float(np.median(ts))
         gpu_s = cpu_s
     else:
-        fn, args = backend.timed_fn(keys, values)
+        fn, args = backend.timed_fn(keys, values, indirect=indirect)
         cpu_s = time_fn(fn, *args, iters=iters, warmup=1)
         # device time via chained-iteration marginal cost: the fixed
         # dispatch+sync latency divides out (cf. GPU timestamps vs wall
@@ -209,14 +225,12 @@ def run_sweep(backend_name: str, *, steps: int = DEFAULT_STEPS,
               iters: int = 10, no_verify: bool = False,
               distribution: str = "uniform",
               config: SortConfig | None = None,
+              indirect: bool = False,
               progress: Callable[[BenchResult], None] | None = None,
               ) -> list[BenchResult]:
     """Full sweep over N for keys and kv (reference bench.cc:151-189)."""
     backend = make_backend(backend_name, config)
     sizes = sweep_sizes(steps)
-    overhead = 0.0
-    if not isinstance(backend, _CpuBackend):
-        overhead = measure_overhead()
     if not no_verify:
         check_correctness(backend, sizes[0], distribution=distribution)
     results = []
@@ -224,7 +238,7 @@ def run_sweep(backend_name: str, *, steps: int = DEFAULT_STEPS,
         for sort in ("keys", "kv"):
             r = measure(
                 backend, n, sort, iters=iters, distribution=distribution,
-                overhead=overhead,
+                indirect=indirect and not isinstance(backend, _CpuBackend),
             )
             results.append(r)
             if progress:

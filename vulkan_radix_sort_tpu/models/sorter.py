@@ -25,14 +25,20 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import SortConfig, default_config, round_up
 from ..ops import bitonic, bitops, radix, reference
 from ..utils.timing import StageTimes, time_fn
 
 
-def _pick_backend(cfg: SortConfig) -> str:
+# measured crossovers vs lax.sort on v5e (bench_results/results_v5e.png):
+# below these sizes XLA's sort wins and 'auto' uses it instead
+AUTO_NETWORK_MIN_KEYS = 1 << 20
+AUTO_NETWORK_MIN_KV = 1 << 21
+
+
+def _pick_backend(cfg: SortConfig, max_n: int | None = None,
+                  key_value: bool = False) -> str:
     if cfg.backend != "auto":
         # 'pallas' predates the network engine; keep it as an alias for the
         # radix pipeline so older configs stay valid.
@@ -41,7 +47,12 @@ def _pick_backend(cfg: SortConfig) -> str:
         platform = jax.devices()[0].platform
     except RuntimeError:
         platform = "cpu"
-    return "network" if platform == "tpu" else "xla"
+    if platform != "tpu":
+        return "xla"
+    cut = AUTO_NETWORK_MIN_KV if key_value else AUTO_NETWORK_MIN_KEYS
+    if max_n is not None and max_n < cut:
+        return "xla"
+    return "network"
 
 
 def _sort_dispatch(backend, cfg, u):
@@ -78,7 +89,8 @@ class Sorter:
         self.key_dtype = jnp.dtype(key_dtype)
         if self.key_dtype not in bitops.ENCODERS:
             raise ValueError(f"unsupported key dtype {key_dtype}")
-        self.backend = _pick_backend(self.config)
+        self.backend = _pick_backend(self.config, self.max_n)
+        self.backend_kv = _pick_backend(self.config, self.max_n, key_value=True)
         self._encode, self._decode = bitops.ENCODERS[self.key_dtype]
 
     # -- storage sizing (analog of h.in:279-308) ---------------------------
@@ -86,10 +98,19 @@ class Sorter:
     def storage_requirements(self, key_value: bool = False) -> int:
         """Estimated scratch bytes XLA will hold live during a sort.
 
-        Mirrors the reference layout (h.in:108-115): element count +
-        histograms + ping-pong key (and value) buffers.
+        The reference exposes exact temp sizing because Vulkan makes the
+        user allocate scratch (h.in:108-115,279-308); XLA allocates
+        internally, so this is a capacity-planning estimator per backend.
         """
         cfg = self.config
+        if self.backend == "network":
+            # padded (in-place aliased) key buffer, + value and index
+            # buffers for the stable KV path
+            np2 = 1 << max(8, (self.max_n - 1).bit_length())
+            per = 4 * np2
+            return per * (3 if key_value else 1)
+        # radix layout (h.in:108-115): element count + histograms +
+        # ping-pong key (and value) buffers
         n = round_up(self.max_n, cfg.block)
         blocks = n // cfg.block
         hist = 4 * (1 + cfg.num_passes * cfg.radix + blocks * cfg.radix)
@@ -111,7 +132,7 @@ class Sorter:
 
     @functools.cached_property
     def _sort_pairs_fn(self):
-        cfg, backend = self.config, self.backend
+        cfg, backend = self.config, self.backend_kv
         enc, dec = self._encode, self._decode
 
         @jax.jit
@@ -145,7 +166,7 @@ class Sorter:
 
     @functools.cached_property
     def _sort_pairs_count_fn(self):
-        cfg, backend = self.config, self.backend
+        cfg, backend = self.config, self.backend_kv
         enc, dec = self._encode, self._decode
 
         @jax.jit

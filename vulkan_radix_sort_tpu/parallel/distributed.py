@@ -31,10 +31,10 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import SortConfig
-from ..ops import bitonic, radix, reference
+from ..ops import bitonic, reference
 
 AXIS = "x"
 
