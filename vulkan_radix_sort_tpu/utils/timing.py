@@ -96,14 +96,25 @@ def marginal_time(fn, *args, k1: int = 1, k2: int = 4, iters: int = 5,
 
         return f
 
-    t1 = time_fn(looped(k1), *args, iters=iters, warmup=1)
-    t2 = time_fn(looped(k2), *args, iters=iters, warmup=1)
+    # use the MINIMUM over iters, not the median: the tunnel's dispatch
+    # latency has multi-hundred-ms spikes and the minimum is the robust
+    # estimator of the fixed-cost floor that the subtraction relies on
+    def t_of(k, it):
+        return min(
+            time_fn(looped(k), *args, iters=1, warmup=0) for _ in range(it)
+        )
+
+    f1 = looped(k1)
+    f1(*args)  # compile + warm
+    t1 = t_of(k1, iters)
+    t2 = t_of(k2, iters)
     if t2 - t1 < min_delta and k2 < max_k:
         # one refinement: pick the k that should clear min_delta (avoids a
         # doubling loop — every distinct k costs an outer-jit compile)
         est = max((t2 - t1) / (k2 - k1), 1e-5)
         k2 = min(max_k, k1 + max(k2 - k1, int(min_delta / est) + 1))
-        t2 = time_fn(looped(k2), *args, iters=iters, warmup=1)
+        t2 = t_of(k2, iters)
+        t1 = min(t1, t_of(k1, iters))  # re-floor t1 against spikes
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
