@@ -19,8 +19,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vulkan_radix_sort_tpu.config import enable_compilation_cache
     from vulkan_radix_sort_tpu.ops import bitonic, reference
     from vulkan_radix_sort_tpu.utils.timing import marginal_time
+
+    enable_compilation_cache()
 
     n = 1 << 25
     rng = np.random.default_rng(0)

@@ -1,0 +1,51 @@
+"""Kernel-split planning and compile-cache configuration tests."""
+
+import os
+
+import pytest
+
+from vulkan_radix_sort_tpu import config
+from vulkan_radix_sort_tpu.ops import bitonic
+
+
+def test_phase_groups_respect_budget():
+    for budget in (24, 40, 64, 96, 200):
+        groups = bitonic._phase_groups(16, budget)
+        # every phase exactly once, in order
+        assert [p for g in groups for p in g] == list(range(1, 17))
+        for g in groups:
+            cost = sum(g)
+            # a group only exceeds the budget when it is a single
+            # unsplittable phase
+            assert cost <= budget or len(g) == 1
+
+
+def test_fused_round_plan_budgets():
+    C = 1 << 16
+    rc = C // 128
+    for n_arrays in (1, 3):
+        plan, r_next = bitonic._fused_round_plan(C, 9, n_arrays, 96)
+        covered = [r for lo, hi in plan for r in range(lo, hi + 1)]
+        assert covered == list(range(1, r_next))
+        for lo, hi in plan:
+            assert (1 << hi) * rc * n_arrays <= bitonic.MAX_FUSED_ROWS
+            stages = sum(r + 16 for r in range(lo, hi + 1))
+            assert stages <= 96 or lo == hi
+
+
+def test_enable_compilation_cache(tmp_path):
+    import jax
+
+    p = config.enable_compilation_cache(str(tmp_path / "cache"))
+    assert p.endswith("cache")
+    assert jax.config.jax_compilation_cache_dir == p
+    # idempotent
+    assert config.enable_compilation_cache(p) == p
+
+
+def test_budget_env_overrides():
+    # the module reads env at import; just assert the values are ints > 0
+    assert bitonic.MAX_GROUP_STAGES > 0
+    assert bitonic.MAX_GROUP_STAGES_KV > 0
+    assert bitonic.MAX_FUSED_ROWS >= 1024
+    assert bitonic.FUSE_COST_CAP >= 1024

@@ -35,6 +35,9 @@ def main(argv=None) -> int:
                         "(reference indirect API, vulkan_benchmark.cc:386)")
     args = p.parse_args(argv)
 
+    from ..config import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = SortConfig(backend=args.backend, interpret=args.interpret)
 
     def progress(r):

@@ -57,9 +57,14 @@ SIGN = np.int32(-0x80000000)  # plain scalar: jnp module-level arrays would
 # be captured as pallas constants
 
 # stage budget per emitted kernel (keys-only; key-value kernels carry ~2.5x
-# the ops per stage so they get a proportionally smaller budget)
-MAX_GROUP_STAGES = 96
-MAX_GROUP_STAGES_KV = 40
+# the ops per stage so they get a proportionally smaller budget). Compile
+# time per kernel grows superlinearly with the budget, but with the
+# persistent compilation cache (config.enable_compilation_cache) that cost
+# is paid once per kernel shape, so the budgets are env-tunable.
+import os as _os
+
+MAX_GROUP_STAGES = int(_os.environ.get("VRS_MAX_GROUP_STAGES", 96))
+MAX_GROUP_STAGES_KV = int(_os.environ.get("VRS_MAX_GROUP_STAGES_KV", 40))
 
 # scoped-VMEM ceiling per kernel: the Mosaic default (16 MB) is far below
 # the chip's physical VMEM (128 MB on v5e) and the unrolled network keeps
@@ -316,12 +321,13 @@ def _fused_rounds_body(C, r_lo, r_hi, kv, refs):
 
 # rows-per-array ceiling for a fused group (VMEM holds in+out double
 # buffers plus a few live network temporaries per array)
-MAX_FUSED_ROWS = 16384
+MAX_FUSED_ROWS = int(_os.environ.get("VRS_MAX_FUSED_ROWS", 16384))
 
 # Mosaic emits per-vreg instructions, so kernel compile time scales with
 # (stages x block rows); cap that product or multi-round fused kernels take
-# 5-10 minutes to compile for a ~1% runtime gain
-FUSE_COST_CAP = 48 * 1024  # row-stages, ~the 91-stage/512-row chunk kernel
+# 5-10 minutes to compile for a ~1% runtime gain (one-time with the
+# persistent cache)
+FUSE_COST_CAP = int(_os.environ.get("VRS_FUSE_COST_CAP", 48 * 1024))
 
 
 def _fused_round_plan(C, nrounds, n_arrays, budget):
