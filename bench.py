@@ -50,8 +50,11 @@ def main():
         return 1
 
     # chained-iteration marginal timing: the environment's fixed
-    # dispatch+sync latency (tens of ms, drifting) divides out exactly
-    t = marginal_time(sort, kj, k1=1, k2=4, iters=5)
+    # dispatch+sync latency (tens of ms, drifting) divides out exactly.
+    # A wide k-spread keeps the estimate steady when the latency drifts
+    # between the k1 and k2 measurements (observed ±15% run-to-run drift
+    # with k2=4).
+    t = marginal_time(sort, kj, k1=2, k2=10, iters=7)
     gitems = n / t / 1e9
     print(json.dumps({
         "metric": "keys_gitems_per_s",
