@@ -49,3 +49,13 @@ def test_xla_backend_measure_and_gate():
     res = [harness.measure(b, 1 << 12, s, iters=2) for s in ("keys", "kv")]
     assert {r.sort for r in res} == {"keys", "kv"}
     assert all(r.gpu_gitems_s > 0 for r in res)
+
+
+def test_stage_split_interpret():
+    """--stages analog of the reference's per-stage % lines (bench.cc:178-186)."""
+    from vulkan_radix_sort_tpu.bench.__main__ import print_stage_split
+
+    st = print_stage_split("network", steps=4, iters=1, interpret=True,
+                           n=1 << 11)
+    assert set(st) >= {"chunk", "cross", "local", "rounds"}
+    assert st["chunk"] > 0

@@ -65,3 +65,33 @@ def test_single_chunk_no_rounds(rng):
         bitonic.sort_u32(jnp.asarray(keys), chunk=1 << 14, interpret=True)
     )
     np.testing.assert_array_equal(got, np.sort(keys))
+
+
+@pytest.mark.parametrize("dist", ["uniform", "few", "constant"])
+@pytest.mark.parametrize("n", [1 << 12, (1 << 13) + 97])
+def test_pairs_nonstable(dist, n):
+    """stable=False: deterministic (key, value)-lexicographic order."""
+    keys = datagen.generate_keys(n, seed=7, distribution=dist)
+    vals = datagen.generate_keys(n, seed=8)  # full-range u32 values
+    k, v = bitonic.sort_pairs_u32(
+        jnp.asarray(keys), jnp.asarray(vals), chunk=CHUNK, interpret=True,
+        stable=False,
+    )
+    order = np.lexsort((vals, keys))
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_pairs_nonstable_max_keys_and_values():
+    """Genuine 0xffffffff keys/values must survive sentinel padding."""
+    n = (1 << 12) + 5
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 4, size=n).astype(np.uint32) + 0xFFFFFFFC
+    vals = rng.integers(0, 4, size=n).astype(np.uint32) + 0xFFFFFFFC
+    k, v = bitonic.sort_pairs_u32(
+        jnp.asarray(keys), jnp.asarray(vals), chunk=CHUNK, interpret=True,
+        stable=False,
+    )
+    order = np.lexsort((vals, keys))
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])

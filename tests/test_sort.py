@@ -123,3 +123,47 @@ def test_bitops_roundtrip(rng):
     np.testing.assert_array_equal(
         np.argsort(np.asarray(u), kind="stable"), np.argsort(f, kind="stable")
     )
+
+
+class TestNonStableKV:
+    def test_sorter_nonstable_pairs(self, rng):
+        import vulkan_radix_sort_tpu as vrs
+        from vulkan_radix_sort_tpu import SortConfig
+
+        n = (1 << 12) + 33
+        keys = rng.integers(0, 64, size=n).astype(np.uint32)  # heavy ties
+        vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+        s = vrs.create_sorter(
+            max_n=n, config=SortConfig(backend="network", interpret=True)
+        )
+        k, v = s.sort_key_value(
+            jnp.asarray(keys), jnp.asarray(vals), stable=False
+        )
+        order = np.lexsort((vals, keys))
+        np.testing.assert_array_equal(np.asarray(k), keys[order])
+        np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+    def test_nonstable_with_count_raises(self, rng):
+        import vulkan_radix_sort_tpu as vrs
+
+        n = 1 << 10
+        keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+        vals = np.arange(n, dtype=np.uint32)
+        s = vrs.create_sorter(max_n=n)
+        with pytest.raises(NotImplementedError):
+            s.sort_key_value(jnp.asarray(keys), jnp.asarray(vals),
+                             count=5, stable=False)
+
+    def test_create_sorter_config_kwarg_honored(self):
+        """Regression: config= used to be silently dropped."""
+        import vulkan_radix_sort_tpu as vrs
+        from vulkan_radix_sort_tpu import SortConfig
+
+        s = vrs.create_sorter(
+            max_n=256, config=SortConfig(backend="network", interpret=True)
+        )
+        assert s.backend == "network"
+        with pytest.raises(TypeError):
+            vrs.create_sorter(max_n=256, config=SortConfig(), backend="xla")
+        with pytest.raises(TypeError):
+            vrs.create_sorter(max_n=256, bogus_option=1)

@@ -203,6 +203,61 @@ def bench_subsort(n=1 << 23, rb=16, dt=jnp.bfloat16, do_permute=True):
           f"-> {n/t/1e9:6.2f} Gkey/s")
 
 
+def bench_lane_gather(n=1 << 23, rb=512):
+    """Dynamic lane gather (take_along_axis axis=1) — lowers in Mosaic as of
+    jax 0.9; measured 3.65 ps/elem (see docs/RADIX_INVESTIGATION.md)."""
+    import numpy as np
+
+    rows = n // LANES
+    idx = jnp.asarray(
+        np.random.default_rng(0).integers(0, LANES, size=(rows, LANES)),
+        jnp.int32,
+    )
+    spec = pl.BlockSpec((rb, LANES), lambda p: (p, 0), memory_space=pltpu.VMEM)
+
+    def kern(x_ref, i_ref, o_ref):
+        x = x_ref[...]
+        i = i_ref[...]
+        for _ in range(8):
+            x = jnp.take_along_axis(x, i, axis=1) + 1
+        o_ref[...] = x
+
+    def call(x):
+        return pl.pallas_call(
+            kern, grid=(rows // rb,), in_specs=[spec, spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        )(x, idx)
+
+    x = jnp.arange(n, dtype=jnp.int32).reshape(rows, LANES)
+    t = marginal(call, x, k1=2, k2=8)
+    print(f"lane gather x8 rb={rb}: {t/n/8*1e12:7.2f} ps/elem/gather")
+
+
+def bench_transpose(n=1 << 23, rb=512):
+    """128x128 i32 transpose in-kernel — 0.72 ps/elem measured."""
+    rows = n // LANES
+    spec = pl.BlockSpec((rb, LANES), lambda p: (p, 0), memory_space=pltpu.VMEM)
+
+    def kern(x_ref, o_ref):
+        x = x_ref[...]
+        for _ in range(4):
+            parts = [
+                x[i * 128:(i + 1) * 128, :].T for i in range(x.shape[0] // 128)
+            ]
+            x = jnp.concatenate(parts, axis=0) + 1
+        o_ref[...] = x
+
+    def call(x):
+        return pl.pallas_call(
+            kern, grid=(rows // rb,), in_specs=[spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        )(x)
+
+    x = jnp.arange(n, dtype=jnp.int32).reshape(rows, LANES)
+    t = marginal(call, x, k1=2, k2=8)
+    print(f"transpose 128x128 x4: {t/n/4*1e12:7.2f} ps/elem/transpose")
+
+
 if __name__ == "__main__":
     print(f"device: {jax.devices()[0]}")
     bench_memcpy(rb=512)
@@ -216,3 +271,8 @@ if __name__ == "__main__":
     bench_subsort(rb=16, dt=jnp.int8)
     bench_subsort(rb=32, dt=jnp.bfloat16)
     bench_subsort(rb=8, dt=jnp.bfloat16)
+    try:
+        bench_lane_gather()
+        bench_transpose()
+    except Exception as e:  # older Mosaic without gather lowering
+        print(f"gather/transpose probes unavailable: {e}")

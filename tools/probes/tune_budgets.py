@@ -28,6 +28,16 @@ if mode == "keys":
     assert np.array_equal(got, np.sort(keys)), "keys verify FAILED"
     t = marginal_time(fn, kj, k1=1, k2=4, iters=5)
     print(f"[{cfgstr}] keys 2^25 chunk=2^{chunk}: {t*1e3:.2f} ms  ({n/t/1e9:.3f} G/s)")
+elif mode == "kvns":
+    vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    kj, vj = jnp.asarray(keys), jnp.asarray(vals)
+    fn = lambda a, b: bitonic.sort_pairs_u32(a, b, chunk=1 << chunk, stable=False)
+    gk, gv = fn(kj, vj)
+    order = np.lexsort((vals, keys))
+    assert np.array_equal(np.asarray(gk), keys[order]), "kvns keys FAILED"
+    assert np.array_equal(np.asarray(gv), vals[order]), "kvns vals FAILED"
+    t = marginal_time(fn, kj, vj, k1=1, k2=3, iters=5)
+    print(f"[{cfgstr}] kv-nonstable 2^25 chunk=2^{chunk}: {t*1e3:.2f} ms  ({n/t/1e9:.3f} G/s)")
 else:
     vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
     kj, vj = jnp.asarray(keys), jnp.asarray(vals)

@@ -44,10 +44,11 @@ def sort(keys, count=None, config=None):
     return s.sort(keys, count=count)
 
 
-def sort_key_value(keys, values, count=None, config=None):
-    """One-shot stable key-value sort.
+def sort_key_value(keys, values, count=None, config=None, stable=True):
+    """One-shot key-value sort (stable by default).
 
-    Analog of vrdxCmdSortKeyValue / ...Indirect (h.in:333-342).
+    Analog of vrdxCmdSortKeyValue / ...Indirect (h.in:333-342);
+    stable=False is a faster extension (see Sorter.sort_key_value).
     """
     s = Sorter(keys.shape[0], key_dtype=keys.dtype, config=config)
-    return s.sort_key_value(keys, values, count=count)
+    return s.sort_key_value(keys, values, count=count, stable=stable)

@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     p.add_argument("--indirect", action="store_true",
                    help="route sorts through the dynamic-count path "
                         "(reference indirect API, vulkan_benchmark.cc:386)")
+    p.add_argument("--stages", action="store_true",
+                   help="also print the per-stage split at the largest N "
+                        "(network backend; analog of the reference's "
+                        "upsweep/spine/downsweep %% lines, bench.cc:178-186)")
     args = p.parse_args(argv)
 
     from ..config import enable_compilation_cache
@@ -55,7 +59,43 @@ def main(argv=None) -> int:
     if args.output:
         write_csv(args.output, results)
         print(f"wrote {args.output}")
+
+    if args.stages:
+        print_stage_split(args.backend, steps=args.steps, iters=args.iters,
+                          interpret=args.interpret)
     return 0
+
+
+def print_stage_split(backend: str, *, steps: int, iters: int,
+                      interpret: bool = False, n: int | None = None) -> dict:
+    """Per-stage split of one keys sort at the largest sweep N.
+
+    The network's stages are chunk (VMEM chunk sort), cross (inter-block
+    merge distances) and local (per-block cleanup) — the analog of the
+    reference's per-pass upsweep/spine/downsweep timestamp decode
+    (vulkan_benchmark.cc:318-337, printed at bench.cc:178-186).
+    """
+    if backend not in ("network", "auto"):
+        print(f"[{backend}] stage split only available for the network backend")
+        return {}
+    import jax.numpy as jnp
+
+    from ..ops import bitonic
+    from .harness import sweep_sizes
+
+    if n is None:
+        n = sweep_sizes(steps=steps)[-1]
+    keys = datagen.generate_keys(n, seed=0)
+    st = bitonic.stage_times(jnp.asarray(keys), iters=iters,
+                             interpret=interpret)
+    tot = st["chunk"] + st["cross"] + st["local"]
+    parts = "  ".join(
+        f"{name} {st[name] * 1e3:8.3f} ms ({st[name] / tot * 100:4.1f}%)"
+        for name in ("chunk", "cross", "local")
+    )
+    print(f"[network] stages at n={n}: {parts}  "
+          f"[{st['rounds']} merge rounds, sum {tot * 1e3:.3f} ms]")
+    return st
 
 
 if __name__ == "__main__":

@@ -63,11 +63,13 @@ def _sort_dispatch(backend, cfg, u):
     return reference.sort_keys(u)
 
 
-def _sort_pairs_dispatch(backend, cfg, u, v):
+def _sort_pairs_dispatch(backend, cfg, u, v, stable=True):
     if backend == "network":
         return bitonic.sort_pairs_u32(
-            u, v, chunk=cfg.chunk, interpret=cfg.interpret
+            u, v, chunk=cfg.chunk, interpret=cfg.interpret, stable=stable
         )
+    # the other backends are stable by construction, which is a valid
+    # (if unasked-for) answer to a stable=False request
     if backend == "radix":
         return radix.sort_pairs_u32(u, v, config=cfg)
     return reference.sort_pairs(u, v)
@@ -132,12 +134,21 @@ class Sorter:
 
     @functools.cached_property
     def _sort_pairs_fn(self):
+        return self._make_sort_pairs_fn(True)
+
+    @functools.cached_property
+    def _sort_pairs_unstable_fn(self):
+        return self._make_sort_pairs_fn(False)
+
+    def _make_sort_pairs_fn(self, stable):
         cfg, backend = self.config, self.backend_kv
         enc, dec = self._encode, self._decode
 
         @jax.jit
         def f(keys, values):
-            k, v = _sort_pairs_dispatch(backend, cfg, enc(keys), values)
+            k, v = _sort_pairs_dispatch(
+                backend, cfg, enc(keys), values, stable=stable
+            )
             return dec(k), v
 
         return f
@@ -204,12 +215,27 @@ class Sorter:
             return self._sort_fn(keys)
         return self._sort_count_fn(keys, jnp.uint32(count))
 
-    def sort_key_value(self, keys, values, count=None):
-        """Stable ascending key-value sort; values ride as a separate 32-bit
-        buffer per pass (reference README.md:60)."""
+    def sort_key_value(self, keys, values, count=None, stable=True):
+        """Ascending key-value sort; values ride as a separate 32-bit buffer
+        per pass (reference README.md:60).
+
+        stable=True matches the reference's std::stable_sort contract.
+        stable=False is an extension beyond the reference API: the network
+        backend drops the original-index carry for a ~1.4x faster sort
+        whose order among equal keys is by ascending value (deterministic);
+        the other backends (including the small-n auto pick) are stable by
+        construction and simply return input order among equal keys — also
+        a valid non-stable result.
+        """
         self._check(keys, values)
         if count is None:
+            if not stable:
+                return self._sort_pairs_unstable_fn(keys, values)
             return self._sort_pairs_fn(keys, values)
+        if not stable:
+            raise NotImplementedError(
+                "stable=False is not supported together with count="
+            )
         return self._sort_pairs_count_fn(keys, values, jnp.uint32(count))
 
     # -- timing queries (analog of the 15-timestamp layout, h.in:39-50) ------
@@ -239,8 +265,20 @@ class Sorter:
         return t
 
 
-def create_sorter(max_n: int, key_dtype=jnp.uint32, **kw) -> Sorter:
-    """vrdxCreateSorter analog (h.in:141-265)."""
-    cfg_kw = {k: v for k, v in kw.items() if k in SortConfig.__dataclass_fields__}
-    cfg = SortConfig(**cfg_kw) if cfg_kw else None
-    return Sorter(max_n, key_dtype=key_dtype, config=cfg)
+def create_sorter(max_n: int, key_dtype=jnp.uint32, config=None, **kw) -> Sorter:
+    """vrdxCreateSorter analog (h.in:141-265).
+
+    Accepts either a ready `config=SortConfig(...)` or SortConfig fields as
+    keyword arguments (`backend=`, `chunk=`, `interpret=`, ...), but not
+    both. Unknown keywords raise instead of being silently dropped.
+    """
+    unknown = set(kw) - set(SortConfig.__dataclass_fields__)
+    if unknown:
+        raise TypeError(f"unknown sorter options: {sorted(unknown)}")
+    if kw:
+        if config is not None:
+            raise TypeError(
+                "pass either config= or SortConfig field keywords, not both"
+            )
+        config = SortConfig(**kw)
+    return Sorter(max_n, key_dtype=key_dtype, config=config)

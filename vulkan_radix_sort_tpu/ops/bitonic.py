@@ -65,6 +65,12 @@ import os as _os
 
 MAX_GROUP_STAGES = int(_os.environ.get("VRS_MAX_GROUP_STAGES", 96))
 MAX_GROUP_STAGES_KV = int(_os.environ.get("VRS_MAX_GROUP_STAGES_KV", 40))
+MAX_GROUP_STAGES_PAIRS = int(_os.environ.get("VRS_MAX_GROUP_STAGES_PAIRS", 64))
+
+
+def _budget(na: int) -> int:
+    return {1: MAX_GROUP_STAGES, 2: MAX_GROUP_STAGES_PAIRS,
+            3: MAX_GROUP_STAGES_KV}[na]
 
 # scoped-VMEM ceiling per kernel: the Mosaic default (16 MB) is far below
 # the chip's physical VMEM (128 MB on v5e) and the unrolled network keeps
@@ -110,6 +116,25 @@ def _stage_ce(arrs, axis, sh, up):
         mx = jnp.maximum(x, pm)
         return (jnp.where(up, mn, _roll(mx, sh, axis=axis)),)
 
+    if len(arrs) == 2:
+        # non-stable pairs: (key, value) compared lexicographically. The
+        # value tiebreak makes the order deterministic and lets padding
+        # sentinels (0xffffffff, 0xffffffff) be interchangeable with any
+        # bit-identical genuine pair.
+        k, v = arrs
+        pk = _roll(k, -sh, axis=axis)
+        pv = _roll(v, -sh, axis=axis)
+        lt = jnp.where(
+            (pk < k) | ((pk == k) & (pv < v)), jnp.int32(1), jnp.int32(0)
+        )
+        take = jnp.where(up, lt, _roll(lt, sh, axis=axis)) > 0
+
+        def pick2(arr, parr):
+            p = jnp.where(up, parr, _roll(arr, sh, axis=axis))
+            return jnp.where(take, p, arr)
+
+        return (pick2(k, pk), pick2(v, pv))
+
     k, v, ix = arrs
     pk = _roll(k, -sh, axis=axis)
     pix = _roll(ix, -sh, axis=axis)
@@ -153,31 +178,44 @@ def _desc_m32(shape, k):
 
 
 def _negate(arrs, m32):
-    """XOR keys (and the index tiebreak) with a -1/0 mask: descending
-    regions sort ascending on NOTed values. Payload values are untouched."""
+    """XOR the compared arrays with a -1/0 mask: descending regions sort
+    ascending on NOTed values. Non-compared payload is untouched."""
     if len(arrs) == 1:
         return (arrs[0] ^ m32,)
+    if len(arrs) == 2:  # non-stable pairs: (key, value) both compared
+        k, v = arrs
+        return (k ^ m32, v ^ m32)
     k, v, ix = arrs
     return (k ^ m32, v, ix ^ m32)
 
 
-def _load(refs, kv):
-    if kv:
+def _load(refs, na):
+    """na = number of carried arrays: 1 keys, 2 non-stable pairs, 3 stable
+    (key, value, index)."""
+    if na == 3:
         k_ref, v_ref, ix_ref = refs[:3]
         return (
             _flip(k_ref[:]),
             v_ref[:],
             jax.lax.bitcast_convert_type(ix_ref[:], jnp.int32),
         )
+    if na == 2:
+        # values are compared (lexicographic tiebreak) so they get the
+        # same unsigned->signed flip as keys
+        return (_flip(refs[0][:]), _flip(refs[1][:]))
     return (_flip(refs[0][:]),)
 
 
-def _store(refs, arrs, kv):
-    if kv:
+def _store(refs, arrs, na):
+    if na == 3:
         ko_ref, vo_ref, ixo_ref = refs[-3:]
         ko_ref[:] = _unflip(arrs[0])
         vo_ref[:] = arrs[1]
         ixo_ref[:] = jax.lax.bitcast_convert_type(arrs[2], jnp.uint32)
+    elif na == 2:
+        ko_ref, vo_ref = refs[-2:]
+        ko_ref[:] = _unflip(arrs[0])
+        vo_ref[:] = _unflip(arrs[1])
     else:
         refs[-1][:] = _unflip(arrs[0])
 
@@ -411,7 +449,7 @@ def _block_call(body, arrs, rc, interpret, real_rows=None):
 
 def _run_chunk(arrs, C, kv, interpret, real_rows=None):
     rc = C // LANES
-    budget = MAX_GROUP_STAGES_KV if kv else MAX_GROUP_STAGES
+    budget = _budget(len(arrs))
     for group in _phase_groups(_log2(C), budget):
         body = functools.partial(
             _chunk_phases_body, C, group[0], group[-1], kv
@@ -489,7 +527,7 @@ def _plan(n: int, chunk: int):
 def _sort_padded(arrs, np2, C, kv, interpret, real_rows=None):
     arrs = _run_chunk(arrs, C, kv, interpret, real_rows)
     nrounds = _log2(np2 // C)
-    budget = MAX_GROUP_STAGES_KV if kv else MAX_GROUP_STAGES
+    budget = _budget(len(arrs))
     plan, r_next = _fused_round_plan(C, nrounds, len(arrs), budget)
     for r_lo, r_hi in plan:
         arrs = _run_fused_rounds(arrs, C, r_lo, r_hi, kv, interpret, real_rows)
@@ -514,7 +552,7 @@ def stage_times(keys, chunk: int = 1 << 16, iters: int = 10,
     arrs0 = [_pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF)]
     nrounds = _log2(np2 // C)
 
-    f_chunk = jax.jit(lambda a: _run_chunk([a], C, False, interpret)[0])
+    f_chunk = jax.jit(lambda a: _run_chunk([a], C, 1, interpret)[0])
     t_chunk = time_fn(f_chunk, arrs0[0], iters=iters)
     a = f_chunk(arrs0[0])
 
@@ -523,19 +561,19 @@ def stage_times(keys, chunk: int = 1 << 16, iters: int = 10,
     for r_lo, r_hi in plan:
         f_f = jax.jit(
             lambda x, a_=r_lo, b_=r_hi: _run_fused_rounds(
-                [x], C, a_, b_, False, interpret
+                [x], C, a_, b_, 1, interpret
             )[0]
         )
         t_cross += time_fn(f_f, a, iters=iters)
         a = f_f(a)
     for r in range(r_next, nrounds + 1):
         f_cross = jax.jit(
-            lambda x, r=r: _run_cross([x], C, r, False, interpret)[0]
+            lambda x, r=r: _run_cross([x], C, r, 1, interpret)[0]
         )
         t_cross += time_fn(f_cross, a, iters=iters)
         a = f_cross(a)
         f_local = jax.jit(
-            lambda x, r=r: _run_local([x], C, r, False, interpret)[0]
+            lambda x, r=r: _run_local([x], C, r, 1, interpret)[0]
         )
         t_local += time_fn(f_local, a, iters=iters)
         a = f_local(a)
@@ -554,16 +592,37 @@ def sort_u32(keys, *, chunk: int = 1 << 16, interpret: bool = False):
     n = keys.shape[0]
     np2, C = _plan(n, chunk)
     arrs = [_pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF)]
-    arrs = _sort_padded(arrs, np2, C, False, interpret, _cdiv(n, LANES))
+    arrs = _sort_padded(arrs, np2, C, 1, interpret, _cdiv(n, LANES))
     return arrs[0].reshape(-1)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "interpret", "stable")
+)
 def sort_pairs_u32(keys, values, *, chunk: int = 1 << 16,
-                   interpret: bool = False):
-    """Stable key-value sort (values ride as a separate 32-bit buffer)."""
+                   interpret: bool = False, stable: bool = True):
+    """Key-value sort (values ride as a separate 32-bit buffer).
+
+    stable=True (default) matches the reference contract: output equals the
+    CPU std::stable_sort-by-key oracle (reference bench/cpu_benchmark.cc:33-49)
+    by carrying (key, value, original index) and tie-breaking on index.
+
+    stable=False carries only (key, value) and compares them
+    lexicographically — ~1.4x faster (two arrays through every CE stage
+    instead of three). The order among equal keys is by ascending value
+    (deterministic), not input order. Padding sentinels are the pair
+    (0xffffffff, 0xffffffff), the lexicographic maximum, so they sort
+    behind every genuine pair and are sliced off.
+    """
     n = keys.shape[0]
     np2, C = _plan(n, chunk)
+    if not stable:
+        arrs = [
+            _pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF),
+            _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0xFFFFFFFF),
+        ]
+        arrs = _sort_padded(arrs, np2, C, 2, interpret, _cdiv(n, LANES))
+        return arrs[0].reshape(-1)[:n], arrs[1].reshape(-1)[:n]
     # pad index entries are a CONSTANT 0x7fffffff: bigger than any real
     # index (so genuine 0xffffffff keys sort ahead of the pad sentinels)
     # and mutually equal, which makes every network stage map pure-sentinel
@@ -577,7 +636,7 @@ def sort_pairs_u32(keys, values, *, chunk: int = 1 << 16,
         _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0),
         idx,
     ]
-    arrs = _sort_padded(arrs, np2, C, True, interpret, _cdiv(n, LANES))
+    arrs = _sort_padded(arrs, np2, C, 3, interpret, _cdiv(n, LANES))
     k = arrs[0].reshape(-1)[:n]
     v = arrs[1].reshape(-1)[:n]
     return k, v
