@@ -59,3 +59,35 @@ def test_one_shot_api(rng, backend):
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
     got = np.asarray(vrs.sort(jnp.asarray(keys), config=cfg))
     np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_float32_keys_nonstable_pairs():
+    """stable=False through the Sorter with float32 keys (bit-encoded)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+
+    import vulkan_radix_sort_tpu as vrs
+
+    n = (1 << 12) + 11
+    rng = np.random.default_rng(21)
+    keys = rng.standard_normal(n).astype(np.float32)
+    keys[:16] = np.float32(1.5)  # forced ties
+    vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    s = vrs.create_sorter(
+        max_n=n, key_dtype=jnp.float32, backend="network", interpret=True
+    )
+    k, v = s.sort_key_value(jnp.asarray(keys), jnp.asarray(vals), stable=False)
+    kn, vn = np.asarray(k), np.asarray(v)
+    assert np.array_equal(kn, np.sort(keys))
+    # per-key value multisets preserved; ties value-ascending
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    start = 0
+    for i in range(1, n + 1):
+        if i == n or ks[i] != ks[start]:
+            got = np.sort(vn[start:i])
+            want = np.sort(vals[order][start:i])
+            assert np.array_equal(got, want)
+            assert np.array_equal(vn[start:i], np.sort(vn[start:i]))
+            start = i

@@ -90,13 +90,21 @@ def main(argv=None):
     for ax, (sort, label) in zip(axes, panels):
         for b in backends:
             pts = sorted(series.get((b, sort), []))
-            if not pts:
-                continue
-            ns = [x[0] for x in pts]
-            ax.plot(
-                ns, [x[1] for x in pts], "-", color=colors[b],
-                linewidth=2, label=b,
-            )
+            if pts:
+                ax.plot(
+                    [x[0] for x in pts], [x[1] for x in pts], "-",
+                    color=colors[b], linewidth=2, label=b,
+                )
+            if sort == "kv":
+                # stable=False extension series, dashed in the kv panel
+                # (independent of whether a stable kv series exists)
+                ns_pts = sorted(series.get((b, "kvns"), []))
+                if ns_pts:
+                    ax.plot(
+                        [x[0] for x in ns_pts], [x[1] for x in ns_pts],
+                        "--", color=colors[b], linewidth=1.6,
+                        label=f"{b} (stable=False)",
+                    )
         ax.set_xscale("log", base=2)
         ax.set_xlabel("n")
         ax.set_title(label, fontsize=11)

@@ -33,6 +33,9 @@ def main(argv=None) -> int:
     p.add_argument("--indirect", action="store_true",
                    help="route sorts through the dynamic-count path "
                         "(reference indirect API, vulkan_benchmark.cc:386)")
+    p.add_argument("--nonstable", action="store_true",
+                   help="also sweep the stable=False key-value path "
+                        "(reported as sort type 'kvns')")
     p.add_argument("--stages", action="store_true",
                    help="also print the per-stage split at the largest N "
                         "(network backend; analog of the reference's "
@@ -54,7 +57,8 @@ def main(argv=None) -> int:
     results = run_sweep(
         args.backend, steps=args.steps, iters=args.iters,
         no_verify=args.no_verify, distribution=args.distribution,
-        config=cfg, indirect=args.indirect, progress=progress,
+        config=cfg, indirect=args.indirect, nonstable=args.nonstable,
+        progress=progress,
     )
     if args.output:
         write_csv(args.output, results)

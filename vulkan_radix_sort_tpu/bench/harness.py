@@ -83,10 +83,21 @@ class _JaxBackend:
         return np.asarray(s.sort(jnp.asarray(keys)))
 
     def timed_fn(self, keys: np.ndarray, values: np.ndarray | None,
-                 indirect: bool = False):
+                 indirect: bool = False, stable: bool = True):
         import jax.numpy as jnp
 
         s = self._sorter(keys.shape[0])
+        if not stable and values is not None:
+            if indirect:
+                # Sorter.sort_key_value(stable=False, count=...) is
+                # unimplemented; refuse rather than silently timing the
+                # stable path under a 'kvns' label
+                raise NotImplementedError(
+                    "stable=False cannot be combined with the indirect path"
+                )
+            return s._sort_pairs_unstable_fn, (
+                jnp.asarray(keys), jnp.asarray(values),
+            )
         if values is None:
             if indirect:
                 # dynamic-count path with count == n (the reference's KV
@@ -105,11 +116,13 @@ class _JaxBackend:
             )
         return s._sort_pairs_fn, (jnp.asarray(keys), jnp.asarray(values))
 
-    def sort_key_value(self, keys, values):
+    def sort_key_value(self, keys, values, stable: bool = True):
         import jax.numpy as jnp
 
         s = self._sorter(keys.shape[0])
-        k, v = s.sort_key_value(jnp.asarray(keys), jnp.asarray(values))
+        k, v = s.sort_key_value(
+            jnp.asarray(keys), jnp.asarray(values), stable=stable
+        )
         return np.asarray(k), np.asarray(v)
 
 
@@ -122,7 +135,8 @@ class _CpuBackend:
     def sort(self, keys):
         return np.sort(keys)
 
-    def sort_key_value(self, keys, values):
+    def sort_key_value(self, keys, values, stable: bool = True):
+        # a stable order is also a valid answer to stable=False
         order = np.argsort(keys, kind="stable")
         return keys[order], values[order]
 
@@ -149,7 +163,8 @@ class _CppBackend(_CpuBackend):
     def sort(self, keys):
         return self._native.sort_u32(keys)
 
-    def sort_key_value(self, keys, values):
+    def sort_key_value(self, keys, values, stable: bool = True):
+        # native LSD radix is stable; valid for stable=False too
         return self._native.sort_pairs_u32(keys, values)
 
     def timed_fn(self, keys, values):
@@ -172,8 +187,14 @@ def make_backend(name: str, config: SortConfig | None = None):
 
 
 def check_correctness(backend, n: int, seed: int = 0,
-                      distribution: str = "uniform") -> None:
-    """Oracle diff at one size, keys and kv (reference bench.cc:41-64)."""
+                      distribution: str = "uniform",
+                      nonstable: bool = False) -> None:
+    """Oracle diff at one size, keys and kv (reference bench.cc:41-64).
+
+    nonstable=True additionally gates the stable=False pair path: keys must
+    match the oracle exactly and the (key, value) pair multiset must be
+    preserved (any order among equal keys is a valid non-stable answer).
+    """
     cpu = _CpuBackend()
     keys = datagen.generate_keys(n, seed=seed, distribution=distribution)
     got = backend.sort(keys)
@@ -188,15 +209,30 @@ def check_correctness(backend, n: int, seed: int = 0,
     wk, wv = cpu.sort_key_value(keys, values)
     if not (np.array_equal(gk, wk) and np.array_equal(gv, wv)):
         raise AssertionError(f"key-value mismatch at n={n}")
+    if nonstable:
+        gk, gv = backend.sort_key_value(keys, values, stable=False)
+        if not np.array_equal(gk, wk):
+            raise AssertionError(f"kvns keys mismatch at n={n}")
+        got_pairs = np.sort(gk.astype(np.uint64) << 32 | gv)
+        want_pairs = np.sort(
+            keys.astype(np.uint64) << 32 | values.astype(np.uint64)
+        )
+        if not np.array_equal(got_pairs, want_pairs):
+            raise AssertionError(f"kvns pair multiset mismatch at n={n}")
 
 
 def measure(backend, n: int, sort: str, *, iters: int = 10, seed: int = 0,
             distribution: str = "uniform", indirect: bool = False
             ) -> BenchResult:
-    """1 warmup + iters timed runs, median (reference bench.cc:66-101)."""
+    """1 warmup + iters timed runs, median (reference bench.cc:66-101).
+
+    sort: 'keys', 'kv' (stable, the reference contract) or 'kvns'
+    (stable=False extension; stable backends just run their pair sort).
+    """
     keys = datagen.generate_keys(n, seed=seed, distribution=distribution)
     values = (
-        datagen.generate_keys(n, seed=seed + 1) if sort == "kv" else None
+        datagen.generate_keys(n, seed=seed + 1)
+        if sort in ("kv", "kvns") else None
     )
     if isinstance(backend, _CpuBackend):
         fn, args = backend.timed_fn(keys, values)
@@ -208,7 +244,9 @@ def measure(backend, n: int, sort: str, *, iters: int = 10, seed: int = 0,
         cpu_s = float(np.median(ts))
         gpu_s = cpu_s
     else:
-        fn, args = backend.timed_fn(keys, values, indirect=indirect)
+        fn, args = backend.timed_fn(
+            keys, values, indirect=indirect, stable=sort != "kvns"
+        )
         cpu_s = time_fn(fn, *args, iters=iters, warmup=1)
         # device time via chained-iteration marginal cost: the fixed
         # dispatch+sync latency divides out (cf. GPU timestamps vs wall
@@ -226,16 +264,28 @@ def run_sweep(backend_name: str, *, steps: int = DEFAULT_STEPS,
               distribution: str = "uniform",
               config: SortConfig | None = None,
               indirect: bool = False,
+              nonstable: bool = False,
+              n_min: int = N_MIN, n_max: int = N_MAX,
               progress: Callable[[BenchResult], None] | None = None,
               ) -> list[BenchResult]:
-    """Full sweep over N for keys and kv (reference bench.cc:151-189)."""
+    """Full sweep over N for keys and kv (reference bench.cc:151-189);
+    nonstable=True adds a 'kvns' (stable=False) series."""
+    if nonstable and indirect:
+        raise ValueError(
+            "--nonstable cannot be combined with --indirect "
+            "(stable=False has no dynamic-count path)"
+        )
     backend = make_backend(backend_name, config)
-    sizes = sweep_sizes(steps)
+    sizes = sweep_sizes(steps, n_min=n_min, n_max=n_max)
     if not no_verify:
-        check_correctness(backend, sizes[0], distribution=distribution)
+        check_correctness(
+            backend, sizes[0], distribution=distribution,
+            nonstable=nonstable,
+        )
     results = []
+    sorts = ("keys", "kv") + (("kvns",) if nonstable else ())
     for n in sizes:
-        for sort in ("keys", "kv"):
+        for sort in sorts:
             r = measure(
                 backend, n, sort, iters=iters, distribution=distribution,
                 indirect=indirect and not isinstance(backend, _CpuBackend),

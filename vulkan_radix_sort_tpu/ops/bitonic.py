@@ -116,31 +116,23 @@ def _stage_ce(arrs, axis, sh, up):
         mx = jnp.maximum(x, pm)
         return (jnp.where(up, mn, _roll(mx, sh, axis=axis)),)
 
-    if len(arrs) == 2:
-        # non-stable pairs: (key, value) compared lexicographically. The
-        # value tiebreak makes the order deterministic and lets padding
-        # sentinels (0xffffffff, 0xffffffff) be interchangeable with any
-        # bit-identical genuine pair.
-        k, v = arrs
-        pk = _roll(k, -sh, axis=axis)
-        pv = _roll(v, -sh, axis=axis)
-        lt = jnp.where(
-            (pk < k) | ((pk == k) & (pv < v)), jnp.int32(1), jnp.int32(0)
-        )
-        take = jnp.where(up, lt, _roll(lt, sh, axis=axis)) > 0
-
-        def pick2(arr, parr):
-            p = jnp.where(up, parr, _roll(arr, sh, axis=axis))
-            return jnp.where(take, p, arr)
-
-        return (pick2(k, pk), pick2(v, pv))
-
-    k, v, ix = arrs
-    pk = _roll(k, -sh, axis=axis)
-    pix = _roll(ix, -sh, axis=axis)
+    # Multi-array case: (key, tiebreak) compared lexicographically, every
+    # array moved by the same exchange decision.
+    #   2 arrays — non-stable pairs (key, value): the value IS the
+    #     tiebreak, so equal keys emerge value-ascending (deterministic)
+    #     and padding sentinels (0xffffffff, 0xffffffff) are
+    #     interchangeable with any bit-identical genuine pair.
+    #   3 arrays — stable (key, value, index): the original index breaks
+    #     ties, giving the reference's std::stable_sort order
+    #     (bench/cpu_benchmark.cc:33-49).
+    k = arrs[0]
+    tb = arrs[1] if len(arrs) == 2 else arrs[2]
+    partners = tuple(_roll(a, -sh, axis=axis) for a in arrs)
+    pk = partners[0]
+    ptb = partners[1] if len(arrs) == 2 else partners[2]
     # int32, not bool: Mosaic cannot rotate i1 vectors
     lt = jnp.where(
-        (pk < k) | ((pk == k) & (pix < ix)), jnp.int32(1), jnp.int32(0)
+        (pk < k) | ((pk == k) & (ptb < tb)), jnp.int32(1), jnp.int32(0)
     )  # partner-before-mine
     # take(i): up slot takes partner iff partner sorts first (asc);
     # down slot i takes partner iff partner-of-up-slot(i-j) sorted first
@@ -150,8 +142,7 @@ def _stage_ce(arrs, axis, sh, up):
         p = jnp.where(up, parr, _roll(arr, sh, axis=axis))
         return jnp.where(take, p, arr)
 
-    pv = _roll(v, -sh, axis=axis)
-    return (pick(k, pk), pick(v, pv), pick(ix, pix))
+    return tuple(pick(a, p) for a, p in zip(arrs, partners))
 
 
 def _stage(arrs, j):
@@ -543,9 +534,16 @@ def stage_times(keys, chunk: int = 1 << 16, iters: int = 10,
 
     The network's stages are chunk (VMEM chunk sort), cross (inter-block
     distances) and local (per-block cleanup); cross+local repeat once per
-    merge round.
+    merge round. Each stage is timed with the chained-iteration marginal
+    method so the environment's fixed dispatch latency (which would dwarf
+    sub-ms stages) divides out; the first call per stage compiles a
+    chained program (cached persistently thereafter).
     """
-    from ..utils.timing import time_fn
+    from ..utils.timing import marginal_time
+
+    def time_fn(f, x, iters=iters):
+        return marginal_time(f, x, k1=2, k2=12, iters=max(3, iters // 3),
+                             min_delta=0.02)
 
     n = keys.shape[0]
     np2, C = _plan(n, chunk)
