@@ -203,7 +203,7 @@ def bench_subsort(n=1 << 23, rb=16, dt=jnp.bfloat16, do_permute=True):
           f"-> {n/t/1e9:6.2f} Gkey/s")
 
 
-def bench_lane_gather(n=1 << 23, rb=512):
+def bench_lane_gather(n=1 << 24, rb=512, reps=16):
     """Dynamic lane gather (take_along_axis axis=1) — lowers in Mosaic as of
     jax 0.9; measured 3.65 ps/elem (see docs/RADIX_INVESTIGATION.md)."""
     import numpy as np
@@ -218,7 +218,7 @@ def bench_lane_gather(n=1 << 23, rb=512):
     def kern(x_ref, i_ref, o_ref):
         x = x_ref[...]
         i = i_ref[...]
-        for _ in range(8):
+        for _ in range(reps):
             x = jnp.take_along_axis(x, i, axis=1) + 1
         o_ref[...] = x
 
@@ -229,18 +229,18 @@ def bench_lane_gather(n=1 << 23, rb=512):
         )(x, idx)
 
     x = jnp.arange(n, dtype=jnp.int32).reshape(rows, LANES)
-    t = marginal(call, x, k1=2, k2=8)
-    print(f"lane gather x8 rb={rb}: {t/n/8*1e12:7.2f} ps/elem/gather")
+    t = marginal(call, x, k1=8, k2=72)
+    print(f"lane gather x{reps} rb={rb}: {t/n/reps*1e12:7.2f} ps/elem/gather")
 
 
-def bench_transpose(n=1 << 23, rb=512):
+def bench_transpose(n=1 << 24, rb=512, reps=16):
     """128x128 i32 transpose in-kernel — 0.72 ps/elem measured."""
     rows = n // LANES
     spec = pl.BlockSpec((rb, LANES), lambda p: (p, 0), memory_space=pltpu.VMEM)
 
     def kern(x_ref, o_ref):
         x = x_ref[...]
-        for _ in range(4):
+        for _ in range(reps):
             parts = [
                 x[i * 128:(i + 1) * 128, :].T for i in range(x.shape[0] // 128)
             ]
@@ -254,8 +254,8 @@ def bench_transpose(n=1 << 23, rb=512):
         )(x)
 
     x = jnp.arange(n, dtype=jnp.int32).reshape(rows, LANES)
-    t = marginal(call, x, k1=2, k2=8)
-    print(f"transpose 128x128 x4: {t/n/4*1e12:7.2f} ps/elem/transpose")
+    t = marginal(call, x, k1=8, k2=72)
+    print(f"transpose 128x128 x{reps}: {t/n/reps*1e12:7.2f} ps/elem/transpose")
 
 
 if __name__ == "__main__":

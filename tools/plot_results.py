@@ -117,7 +117,11 @@ def main(argv=None):
         ax.set_xticks(pow2)
         ax.set_xticklabels([f"2^{n.bit_length() - 1}" for n in pow2], fontsize=8)
     axes[0].set_ylabel("throughput (GItems/s)")
-    axes[0].legend(frameon=False, fontsize=9)
+    # each panel legends its own series (the kv panel may carry dashed
+    # stable=False lines that the keys panel doesn't have)
+    for ax in axes:
+        if ax.get_legend_handles_labels()[0]:
+            ax.legend(frameon=False, fontsize=9)
     title = args.title or f"sort throughput — {device_name()}"
     if versions:
         title += f"  (v{', v'.join(sorted(versions))})"

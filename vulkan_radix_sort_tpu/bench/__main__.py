@@ -42,6 +42,10 @@ def main(argv=None) -> int:
                         "upsweep/spine/downsweep %% lines, bench.cc:178-186)")
     args = p.parse_args(argv)
 
+    if args.nonstable and args.indirect:
+        p.error("--nonstable cannot be combined with --indirect "
+                "(stable=False has no dynamic-count path)")
+
     from ..config import enable_compilation_cache
 
     enable_compilation_cache()

@@ -38,7 +38,7 @@ DEFAULT_STEPS = 128  # reference bench.cc:19-20
 class BenchResult:
     backend: str
     n: int
-    sort: str  # 'keys' | 'kv'
+    sort: str  # 'keys' | 'kv' (stable) | 'kvns' (stable=False extension)
     gpu_ms: float  # device time (chained-iteration marginal cost)
     cpu_ms: float  # raw wall clock
     gpu_gitems_s: float

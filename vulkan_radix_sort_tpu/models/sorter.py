@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import SortConfig, default_config, round_up
 from ..ops import bitonic, bitops, radix, reference
-from ..utils.timing import StageTimes, time_fn
+from ..utils.timing import StageTimes, marginal_time, time_fn
 
 
 # measured crossovers vs lax.sort on v5e (bench_results/results_v5e.png):
@@ -242,8 +242,14 @@ class Sorter:
 
     def sort_timed(self, keys, iters: int = 10) -> StageTimes:
         t = StageTimes()
-        t.total_ns = time_fn(self._sort_fn, keys, iters=iters) * 1e9
-        t.cpu_ns = t.total_ns
+        # total: device time via the chained marginal method (the GPU
+        # timestamp analog); cpu: raw wall clock including this
+        # environment's fixed dispatch+sync latency (the submit->fence
+        # analog, vulkan_benchmark.cc:299-302)
+        t.cpu_ns = time_fn(self._sort_fn, keys, iters=iters) * 1e9
+        t.total_ns = marginal_time(
+            self._sort_fn, keys, iters=max(3, iters // 3)
+        ) * 1e9
         if self.backend == "radix":
             stage = radix.stage_times(self._encode(keys), self.config, iters=iters)
             t.upsweep_ns = stage.get("upsweep", 0.0) * 1e9

@@ -549,8 +549,11 @@ def stage_times(keys, chunk: int = 1 << 16, iters: int = 10,
     np2, C = _plan(n, chunk)
     arrs0 = [_pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF)]
     nrounds = _log2(np2 // C)
+    lc = _log2(C)
+    # mirror the real pipeline: skip pure-sentinel padding blocks
+    rr = _cdiv(n, LANES)
 
-    f_chunk = jax.jit(lambda a: _run_chunk([a], C, 1, interpret)[0])
+    f_chunk = jax.jit(lambda a: _run_chunk([a], C, 1, interpret, rr)[0])
     t_chunk = time_fn(f_chunk, arrs0[0], iters=iters)
     a = f_chunk(arrs0[0])
 
@@ -559,19 +562,26 @@ def stage_times(keys, chunk: int = 1 << 16, iters: int = 10,
     for r_lo, r_hi in plan:
         f_f = jax.jit(
             lambda x, a_=r_lo, b_=r_hi: _run_fused_rounds(
-                [x], C, a_, b_, 1, interpret
+                [x], C, a_, b_, 1, interpret, rr
             )[0]
         )
-        t_cross += time_fn(f_f, a, iters=iters)
+        t = time_fn(f_f, a, iters=iters)
+        # a fused kernel runs both the cross and the local stages of rounds
+        # r_lo..r_hi back to back; attribute its time by stage count so the
+        # reported split matches what the unfused path would book
+        cross_stages = sum(range(r_lo, r_hi + 1))
+        local_stages = (r_hi - r_lo + 1) * lc
+        t_cross += t * cross_stages / (cross_stages + local_stages)
+        t_local += t * local_stages / (cross_stages + local_stages)
         a = f_f(a)
     for r in range(r_next, nrounds + 1):
         f_cross = jax.jit(
-            lambda x, r=r: _run_cross([x], C, r, 1, interpret)[0]
+            lambda x, r=r: _run_cross([x], C, r, 1, interpret, rr)[0]
         )
         t_cross += time_fn(f_cross, a, iters=iters)
         a = f_cross(a)
         f_local = jax.jit(
-            lambda x, r=r: _run_local([x], C, r, 1, interpret)[0]
+            lambda x, r=r: _run_local([x], C, r, 1, interpret, rr)[0]
         )
         t_local += time_fn(f_local, a, iters=iters)
         a = f_local(a)
