@@ -32,8 +32,12 @@ from ..utils.timing import StageTimes, marginal_time, time_fn
 
 
 # measured crossovers vs lax.sort on v5e (bench_results/results_v5e.png):
-# below these sizes XLA's sort wins and 'auto' uses it instead
-AUTO_NETWORK_MIN_KEYS = 1 << 20
+# below these sizes XLA's sort wins and 'auto' uses it instead. The keys
+# cutoff was re-measured after sentinel-block skipping: the network wins
+# clearly from 2^18 up (2.1-2.2 vs 0.4-1.0 GItems/s at 2^18-2^19); below
+# that the tunnel's timing noise exceeds the difference, so XLA keeps the
+# small sizes.
+AUTO_NETWORK_MIN_KEYS = 1 << 18
 AUTO_NETWORK_MIN_KV = 1 << 21
 
 
