@@ -45,3 +45,28 @@ def test_fuzz_reduced_bit_range(rng):
         order = np.argsort(keys, kind="stable")
         np.testing.assert_array_equal(np.asarray(gk), keys[order])
         np.testing.assert_array_equal(np.asarray(gv), vals[order])
+
+
+def test_fuzz_nonstable_pairs(rng):
+    """stable=False: (key, value)-lexicographic order on random shapes,
+    including duplicate-heavy reduced bit ranges."""
+    dists = list(datagen.DISTRIBUTIONS)
+    for trial in range(6):
+        n = int(rng.integers(1, 1 << 13))
+        chunk = 1 << int(rng.integers(8, 12))
+        dist = dists[trial % len(dists)]
+        keys = datagen.generate_keys(n, seed=100 + trial, distribution=dist)
+        vals = datagen.generate_keys(n, seed=200 + trial)
+        gk, gv = bitonic.sort_pairs_u32(
+            jnp.asarray(keys), jnp.asarray(vals), chunk=chunk,
+            interpret=True, stable=False,
+        )
+        order = np.lexsort((vals, keys))
+        np.testing.assert_array_equal(
+            np.asarray(gk), keys[order],
+            err_msg=f"kvns keys n={n} chunk={chunk} {dist}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(gv), vals[order],
+            err_msg=f"kvns vals n={n} chunk={chunk} {dist}",
+        )
