@@ -1,0 +1,100 @@
+"""64-bit key sorting (extension beyond the reference's uint32-only API):
+uint64/int64/float64 keys sorted as (hi, lo) uint32 word pairs through the
+non-stable 2-array network path."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture(autouse=True)
+def x64():
+    with jax.enable_x64():
+        yield
+
+
+def _sorter(n, dtype):
+    import jax.numpy as jnp
+
+    import vulkan_radix_sort_tpu as vrs
+
+    return vrs.create_sorter(
+        max_n=n, key_dtype=dtype, backend="network", interpret=True
+    )
+
+
+@pytest.mark.parametrize("n", [257, (1 << 12) + 7])
+def test_u64_keys(n):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    # full 64-bit range incl. duplicates in the hi word and max values
+    keys = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+    keys[: n // 8] = (keys[: n // 8] & np.uint64(0xFFFFFFFF)) | np.uint64(
+        0xDEADBEEF00000000
+    )  # forced hi-word ties
+    keys[0] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    s = _sorter(n, jnp.uint64)
+    got = np.asarray(s.sort(jnp.asarray(keys)))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_i64_keys():
+    import jax.numpy as jnp
+
+    n = 3001
+    rng = np.random.default_rng(2)
+    keys = rng.integers(-(2**63), 2**63, size=n, dtype=np.int64)
+    keys[:3] = [np.iinfo(np.int64).min, -1, np.iinfo(np.int64).max]
+    s = _sorter(n, jnp.int64)
+    got = np.asarray(s.sort(jnp.asarray(keys)))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_f64_keys():
+    import jax.numpy as jnp
+
+    n = 2500
+    rng = np.random.default_rng(3)
+    keys = rng.standard_normal(n) * 1e300
+    keys[:4] = [0.0, -0.0, np.inf, -np.inf]
+    s = _sorter(n, jnp.float64)
+    got = np.asarray(s.sort(jnp.asarray(keys)))
+    np.testing.assert_array_equal(np.sort(keys), got)
+
+
+def test_u64_count_path():
+    import jax.numpy as jnp
+
+    n, m = 2048, 1000
+    rng = np.random.default_rng(4)
+    keys = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+    s = _sorter(n, jnp.uint64)
+    got = np.asarray(s.sort(jnp.asarray(keys), count=m))
+    np.testing.assert_array_equal(got[:m], np.sort(keys[:m]))
+    np.testing.assert_array_equal(got[m:], keys[m:])  # tail untouched
+
+
+def test_u64_requires_x64():
+    import jax.numpy as jnp
+
+    import vulkan_radix_sort_tpu as vrs
+
+    # outside the enable_x64 context the constructor must refuse
+    with jax.enable_x64(False):
+        with pytest.raises(ValueError, match="x64"):
+            vrs.create_sorter(max_n=64, key_dtype=jnp.uint64)
+
+
+def test_u64_kv_unsupported():
+    import jax.numpy as jnp
+
+    import vulkan_radix_sort_tpu as vrs
+
+    n = 128
+    keys = np.arange(n, dtype=np.uint64)
+    vals = np.arange(n, dtype=np.uint32)
+    s = _sorter(n, jnp.uint64)
+    with pytest.raises(NotImplementedError):
+        s.sort_key_value(jnp.asarray(keys), jnp.asarray(vals))

@@ -93,11 +93,42 @@ class Sorter:
         self.config = config or default_config()
         self.max_n = int(max_n)
         self.key_dtype = jnp.dtype(key_dtype)
-        if self.key_dtype not in bitops.ENCODERS:
+        self.wide = self.key_dtype in bitops.ENCODERS64
+        if self.wide:
+            # 64-bit keys (extension; the reference is uint32-only,
+            # include/vk_radix_sort.h:52-81): sorted as (hi, lo) uint32
+            # word pairs through the 2-array network path. Requires jax
+            # x64 mode so the user-facing arrays keep their width.
+            import jax as _jax
+
+            if not _jax.config.jax_enable_x64:
+                raise ValueError(
+                    f"{key_dtype} keys require jax x64 mode "
+                    "(jax.enable_x64() context manager or "
+                    "jax.config.update('jax_enable_x64', True))"
+                )
+            if self.key_dtype == jnp.dtype(jnp.float64):
+                try:
+                    platform = _jax.devices()[0].platform
+                except RuntimeError:
+                    platform = "cpu"
+                if platform == "tpu":
+                    # XLA's TPU x64 rewriter has no lowering for the
+                    # f64<->u64 bitcast the order-preserving encoding
+                    # needs ("While rewriting computation to not contain
+                    # X64 element types ... not implemented")
+                    raise NotImplementedError(
+                        "float64 keys are not supported on TPU (XLA's x64 "
+                        "rewriter cannot bitcast f64); use float32, or "
+                        "sort on CPU"
+                    )
+            self._encode, self._decode = bitops.ENCODERS64[self.key_dtype]
+        elif self.key_dtype in bitops.ENCODERS:
+            self._encode, self._decode = bitops.ENCODERS[self.key_dtype]
+        else:
             raise ValueError(f"unsupported key dtype {key_dtype}")
         self.backend = _pick_backend(self.config, self.max_n)
         self.backend_kv = _pick_backend(self.config, self.max_n, key_value=True)
-        self._encode, self._decode = bitops.ENCODERS[self.key_dtype]
 
     # -- storage sizing (analog of h.in:279-308) ---------------------------
 
@@ -130,6 +161,29 @@ class Sorter:
         cfg, backend = self.config, self.backend
         enc, dec = self._encode, self._decode
 
+        if self.wide:
+            if backend != "network":
+                return jax.jit(lambda keys: dec(jnp.sort(enc(keys))))
+
+            # (hi, lo)-lexicographic == uint64 order: the non-stable pair
+            # path sorts the words directly. Only the split/merge pieces
+            # trace under x64; the Pallas word sort must trace with x64
+            # OFF (weak-typed i64 scalars otherwise leak into the Mosaic
+            # kernels, which reject them).
+            split_jit = jax.jit(lambda keys: bitops.split_u64(enc(keys)))
+            merge_jit = jax.jit(lambda hi, lo: dec(bitops.merge_u64(hi, lo)))
+
+            def f64(keys):
+                hi, lo = split_jit(keys)
+                with jax.enable_x64(False):
+                    hi, lo = bitonic.sort_pairs_u32(
+                        hi, lo, chunk=cfg.chunk, interpret=cfg.interpret,
+                        stable=False,
+                    )
+                return merge_jit(hi, lo)
+
+            return f64
+
         @jax.jit
         def f(keys):
             return dec(_sort_dispatch(backend, cfg, enc(keys)))
@@ -161,6 +215,41 @@ class Sorter:
     def _sort_count_fn(self):
         cfg, backend = self.config, self.backend
         enc, dec = self._encode, self._decode
+
+        if self.wide:
+            # sentinel = u64 max: out-of-range slots sort to the end;
+            # keys-only output makes genuine max keys interchangeable with
+            # sentinels, so no index tiebreak is needed
+
+            @jax.jit
+            def mask64(keys, count):
+                u = enc(keys)
+                idx = jnp.arange(u.shape[0], dtype=jnp.uint32)
+                in_range = idx < count
+                masked = jnp.where(
+                    in_range, u, jnp.uint64(0xFFFFFFFFFFFFFFFF)
+                )
+                return bitops.split_u64(masked) + (u, in_range)
+
+            @jax.jit
+            def finish64(hi, lo, u, in_range):
+                return dec(
+                    jnp.where(in_range, bitops.merge_u64(hi, lo), u)
+                )
+
+            def f64(keys, count):
+                hi, lo, u, in_range = mask64(keys, count)
+                with jax.enable_x64(False):
+                    if backend == "network":
+                        hi, lo = bitonic.sort_pairs_u32(
+                            hi, lo, chunk=cfg.chunk,
+                            interpret=cfg.interpret, stable=False,
+                        )
+                    else:
+                        hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+                return finish64(hi, lo, u, in_range)
+
+            return f64
 
         @jax.jit
         def f(keys, count):
@@ -232,6 +321,11 @@ class Sorter:
         a valid non-stable result.
         """
         self._check(keys, values)
+        if self.wide:
+            raise NotImplementedError(
+                "64-bit keys support keys-only sorting; key-value requires "
+                "a 4-array carry (hi, lo, value[, index]) — not implemented"
+            )
         if count is None:
             if not stable:
                 return self._sort_pairs_unstable_fn(keys, values)
@@ -254,6 +348,10 @@ class Sorter:
         t.total_ns = marginal_time(
             self._sort_fn, keys, iters=max(3, iters // 3)
         ) * 1e9
+        if self.wide:
+            # 64-bit keys: whole-sort timing only (the word-pair pipeline
+            # has no per-stage decomposition exposed)
+            return t
         if self.backend == "radix":
             stage = radix.stage_times(self._encode(keys), self.config, iters=iters)
             t.upsweep_ns = stage.get("upsweep", 0.0) * 1e9

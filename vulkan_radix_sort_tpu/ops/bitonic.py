@@ -97,8 +97,18 @@ def _unflip(i32):
 
 
 def _roll(x, shift, axis):
-    """pltpu.roll modulo the axis size (it requires 0 <= shift < size)."""
-    return pltpu.roll(x, shift % x.shape[axis], axis=axis)
+    """pltpu.roll modulo the axis size (it requires 0 <= shift < size).
+
+    Under jax x64 mode (used when tracing the 64-bit key path) a bare
+    Python int shift is weak-typed to an i64 constant, which Mosaic's
+    rotate lowering rejects — coerce to int32 there. Outside x64 the int
+    passes through untouched so the compiled programs (and the persistent
+    cache keys) stay identical.
+    """
+    shift = shift % x.shape[axis]
+    if jax.config.jax_enable_x64:
+        shift = jnp.int32(shift)
+    return pltpu.roll(x, shift, axis=axis)
 
 
 def _stage_ce(arrs, axis, sh, up):

@@ -55,6 +55,70 @@ ENCODERS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# 64-bit keys (extension beyond the reference's uint32-only API): map onto
+# uint64, split into (hi, lo) uint32 words, and sort the words
+# lexicographically with the 2-array network path. Requires jax x64 mode
+# for the user-facing uint64/int64/float64 arrays.
+# ---------------------------------------------------------------------------
+
+SIGN64 = 0x8000000000000000
+
+
+def encode_u64(x: jax.Array) -> jax.Array:
+    return x.astype(jnp.uint64)
+
+
+def decode_u64(u: jax.Array) -> jax.Array:
+    return u
+
+
+def encode_i64(x: jax.Array) -> jax.Array:
+    """int64 -> uint64, order preserving (flip sign bit)."""
+    return x.astype(jnp.uint64) ^ jnp.uint64(SIGN64)
+
+
+def decode_i64(u: jax.Array) -> jax.Array:
+    return (u ^ jnp.uint64(SIGN64)).astype(jnp.int64)
+
+
+def encode_f64(x: jax.Array) -> jax.Array:
+    """float64 -> uint64, order preserving (IEEE-754 total order trick)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint64)
+    mask = jnp.where(
+        u >> 63 == 1, jnp.uint64(0xFFFFFFFFFFFFFFFF), jnp.uint64(SIGN64)
+    )
+    return u ^ mask
+
+
+def decode_f64(u: jax.Array) -> jax.Array:
+    mask = jnp.where(
+        u >> 63 == 0, jnp.uint64(0xFFFFFFFFFFFFFFFF), jnp.uint64(SIGN64)
+    )
+    return jax.lax.bitcast_convert_type(u ^ mask, jnp.float64)
+
+
+ENCODERS64 = {
+    jnp.dtype(jnp.uint64): (encode_u64, decode_u64),
+    jnp.dtype(jnp.int64): (encode_i64, decode_i64),
+    jnp.dtype(jnp.float64): (encode_f64, decode_f64),
+}
+
+
+def split_u64(u: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """uint64 -> (hi, lo) uint32 words; (hi, lo) lexicographic == u64 order.
+
+    Arithmetic (not bitcast) split so the result is endianness-independent.
+    """
+    hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    return hi, lo
+
+
+def merge_u64(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+
+
 def descending(u: jax.Array) -> jax.Array:
     """Complement: ascending sort of ~u == descending sort of u."""
     return ~u
