@@ -55,6 +55,9 @@ def test_i64_keys():
 def test_f64_keys():
     import jax.numpy as jnp
 
+    if jax.devices()[0].platform == "tpu":
+        pytest.skip("float64 keys unsupported on TPU (no f64 bitcast)")
+
     n = 2500
     rng = np.random.default_rng(3)
     keys = rng.standard_normal(n) * 1e300
@@ -85,6 +88,23 @@ def test_u64_requires_x64():
     with jax.enable_x64(False):
         with pytest.raises(ValueError, match="x64"):
             vrs.create_sorter(max_n=64, key_dtype=jnp.uint64)
+
+
+def test_wide_guards():
+    """Call-time x64 re-check and radix-backend rejection."""
+    import jax.numpy as jnp
+
+    import vulkan_radix_sort_tpu as vrs
+
+    n = 128
+    keys = np.arange(n, dtype=np.uint64)
+    s = _sorter(n, jnp.uint64)
+    with jax.enable_x64(False):
+        with pytest.raises(ValueError, match="x64"):
+            s.sort(keys)
+    with pytest.raises(NotImplementedError, match="radix"):
+        vrs.create_sorter(max_n=n, key_dtype=jnp.uint64, backend="radix")
+    assert s.storage_requirements() > 8 * n  # wide estimator counts words
 
 
 def test_u64_kv_unsupported():

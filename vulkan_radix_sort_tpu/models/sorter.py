@@ -41,17 +41,20 @@ AUTO_NETWORK_MIN_KEYS = 1 << 18
 AUTO_NETWORK_MIN_KV = 1 << 21
 
 
+def _platform() -> str:
+    try:
+        return jax.devices()[0].platform
+    except RuntimeError:
+        return "cpu"
+
+
 def _pick_backend(cfg: SortConfig, max_n: int | None = None,
                   key_value: bool = False) -> str:
     if cfg.backend != "auto":
         # 'pallas' predates the network engine; keep it as an alias for the
         # radix pipeline so older configs stay valid.
         return "radix" if cfg.backend == "pallas" else cfg.backend
-    try:
-        platform = jax.devices()[0].platform
-    except RuntimeError:
-        platform = "cpu"
-    if platform != "tpu":
+    if _platform() != "tpu":
         return "xla"
     cut = AUTO_NETWORK_MIN_KV if key_value else AUTO_NETWORK_MIN_KEYS
     if max_n is not None and max_n < cut:
@@ -99,29 +102,17 @@ class Sorter:
             # include/vk_radix_sort.h:52-81): sorted as (hi, lo) uint32
             # word pairs through the 2-array network path. Requires jax
             # x64 mode so the user-facing arrays keep their width.
-            import jax as _jax
-
-            if not _jax.config.jax_enable_x64:
-                raise ValueError(
-                    f"{key_dtype} keys require jax x64 mode "
-                    "(jax.enable_x64() context manager or "
-                    "jax.config.update('jax_enable_x64', True))"
+            self._require_x64()
+            if self.key_dtype == jnp.dtype(jnp.float64) and _platform() == "tpu":
+                # XLA's TPU x64 rewriter has no lowering for the
+                # f64<->u64 bitcast the order-preserving encoding needs
+                # ("While rewriting computation to not contain X64
+                # element types ... not implemented")
+                raise NotImplementedError(
+                    "float64 keys are not supported on TPU (XLA's x64 "
+                    "rewriter cannot bitcast f64); use float32, or "
+                    "sort on CPU"
                 )
-            if self.key_dtype == jnp.dtype(jnp.float64):
-                try:
-                    platform = _jax.devices()[0].platform
-                except RuntimeError:
-                    platform = "cpu"
-                if platform == "tpu":
-                    # XLA's TPU x64 rewriter has no lowering for the
-                    # f64<->u64 bitcast the order-preserving encoding
-                    # needs ("While rewriting computation to not contain
-                    # X64 element types ... not implemented")
-                    raise NotImplementedError(
-                        "float64 keys are not supported on TPU (XLA's x64 "
-                        "rewriter cannot bitcast f64); use float32, or "
-                        "sort on CPU"
-                    )
             self._encode, self._decode = bitops.ENCODERS64[self.key_dtype]
         elif self.key_dtype in bitops.ENCODERS:
             self._encode, self._decode = bitops.ENCODERS[self.key_dtype]
@@ -129,6 +120,22 @@ class Sorter:
             raise ValueError(f"unsupported key dtype {key_dtype}")
         self.backend = _pick_backend(self.config, self.max_n)
         self.backend_kv = _pick_backend(self.config, self.max_n, key_value=True)
+        if self.wide and self.backend == "radix":
+            raise NotImplementedError(
+                "the radix backend does not support 64-bit keys; use "
+                "backend='network' (or 'auto'/'xla')"
+            )
+
+    def _require_x64(self):
+        """x64 must be on when wide pipelines are built AND when they are
+        called: tracing the split/merge pieces with x64 off silently
+        truncates uint64 operands to uint32."""
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                f"{self.key_dtype} keys require jax x64 mode "
+                "(jax.enable_x64() context manager or "
+                "jax.config.update('jax_enable_x64', True))"
+            )
 
     # -- storage sizing (analog of h.in:279-308) ---------------------------
 
@@ -140,6 +147,11 @@ class Sorter:
         internally, so this is a capacity-planning estimator per backend.
         """
         cfg = self.config
+        if self.wide:
+            # two padded uint32 word buffers (hi, lo) + the 8-byte
+            # input/output arrays themselves
+            np2 = 1 << max(8, (self.max_n - 1).bit_length())
+            return 2 * 4 * np2 + 2 * 8 * self.max_n
         if self.backend == "network":
             # padded (in-place aliased) key buffer, + value and index
             # buffers for the stable KV path
@@ -162,27 +174,28 @@ class Sorter:
         enc, dec = self._encode, self._decode
 
         if self.wide:
+            require = self._require_x64
             if backend != "network":
-                return jax.jit(lambda keys: dec(jnp.sort(enc(keys))))
+                inner = jax.jit(lambda keys: dec(jnp.sort(enc(keys))))
+                return lambda keys: (require(), inner(keys))[1]
 
             # (hi, lo)-lexicographic == uint64 order: the non-stable pair
-            # path sorts the words directly. Only the split/merge pieces
-            # trace under x64; the Pallas word sort must trace with x64
-            # OFF (weak-typed i64 scalars otherwise leak into the Mosaic
-            # kernels, which reject them).
-            split_jit = jax.jit(lambda keys: bitops.split_u64(enc(keys)))
-            merge_jit = jax.jit(lambda hi, lo: dec(bitops.merge_u64(hi, lo)))
-
-            def f64(keys):
-                hi, lo = split_jit(keys)
+            # path sorts the words directly. The split/merge pieces trace
+            # under x64, but the Pallas word sort must trace with x64 OFF
+            # (weak-typed i64 scalars otherwise leak into the Mosaic
+            # kernels, which reject them) — the enable_x64(False) context
+            # applies at trace time, so one jit covers the whole pipeline.
+            @jax.jit
+            def inner(keys):
+                hi, lo = bitops.split_u64(enc(keys))
                 with jax.enable_x64(False):
                     hi, lo = bitonic.sort_pairs_u32(
                         hi, lo, chunk=cfg.chunk, interpret=cfg.interpret,
                         stable=False,
                     )
-                return merge_jit(hi, lo)
+                return dec(bitops.merge_u64(hi, lo))
 
-            return f64
+            return lambda keys: (require(), inner(keys))[1]
 
         @jax.jit
         def f(keys):
@@ -220,25 +233,17 @@ class Sorter:
             # sentinel = u64 max: out-of-range slots sort to the end;
             # keys-only output makes genuine max keys interchangeable with
             # sentinels, so no index tiebreak is needed
+            require = self._require_x64
 
             @jax.jit
-            def mask64(keys, count):
+            def inner(keys, count):
                 u = enc(keys)
                 idx = jnp.arange(u.shape[0], dtype=jnp.uint32)
                 in_range = idx < count
                 masked = jnp.where(
                     in_range, u, jnp.uint64(0xFFFFFFFFFFFFFFFF)
                 )
-                return bitops.split_u64(masked) + (u, in_range)
-
-            @jax.jit
-            def finish64(hi, lo, u, in_range):
-                return dec(
-                    jnp.where(in_range, bitops.merge_u64(hi, lo), u)
-                )
-
-            def f64(keys, count):
-                hi, lo, u, in_range = mask64(keys, count)
+                hi, lo = bitops.split_u64(masked)
                 with jax.enable_x64(False):
                     if backend == "network":
                         hi, lo = bitonic.sort_pairs_u32(
@@ -247,9 +252,11 @@ class Sorter:
                         )
                     else:
                         hi, lo = jax.lax.sort((hi, lo), num_keys=2)
-                return finish64(hi, lo, u, in_range)
+                return dec(
+                    jnp.where(in_range, bitops.merge_u64(hi, lo), u)
+                )
 
-            return f64
+            return lambda keys, count: (require(), inner(keys, count))[1]
 
         @jax.jit
         def f(keys, count):
