@@ -52,9 +52,13 @@ def main():
     # chained-iteration marginal timing: the environment's fixed
     # dispatch+sync latency (tens of ms, drifting) divides out exactly.
     # A wide k-spread keeps the estimate steady when the latency drifts
-    # between the k1 and k2 measurements (observed ±15% run-to-run drift
-    # with k2=4).
-    t = marginal_time(sort, kj, k1=2, k2=10, iters=7)
+    # between the k1 and k2 measurements, and the headline is the MEDIAN
+    # of several independent estimates so one draw's residual drift
+    # (observed ±15% run-to-run) doesn't under-report the engine.
+    estimates = [
+        marginal_time(sort, kj, k1=2, k2=10, iters=5) for _ in range(3)
+    ]
+    t = float(np.median(estimates))
     gitems = n / t / 1e9
     print(json.dumps({
         "metric": "keys_gitems_per_s",
@@ -63,6 +67,7 @@ def main():
         "vs_baseline": round(gitems / BASELINE_KEYS_GITEMS, 4),
         "n": n,
         "seconds_per_sort": round(t, 6),
+        "estimates_ms": [round(e * 1e3, 3) for e in estimates],
         "backend": backend,
     }))
     return 0

@@ -62,14 +62,11 @@ def test_stage_split_interpret():
 
 
 def test_nonstable_sweep_cpu():
-    """kvns series runs on every backend (stable ones just stay stable)."""
-    import pytest
-
+    """kvns series runs on every backend (stable ones just stay stable);
+    kvns + indirect is supported since the masked-value sentinel trick."""
     from vulkan_radix_sort_tpu.bench.harness import run_sweep
 
     results = run_sweep("cpu", steps=2, iters=2, nonstable=True,
                         n_min=1 << 10, n_max=1 << 12)
     sorts = {r.sort for r in results}
     assert sorts == {"keys", "kv", "kvns"}
-    with pytest.raises(ValueError):
-        run_sweep("cpu", steps=2, nonstable=True, indirect=True)

@@ -15,13 +15,23 @@ from vulkan_radix_sort_tpu.utils import datagen
 CHUNK = 1 << 12
 
 
-@pytest.mark.parametrize("n", [64, 100, 1 << 12, 20000, (1 << 15) + 7])
+@pytest.mark.parametrize(
+    "n",
+    [
+        64,
+        100,
+        1 << 12,
+        pytest.param(20000, marks=pytest.mark.slow),
+        pytest.param((1 << 15) + 7, marks=pytest.mark.slow),
+    ],
+)
 def test_keys_sizes(rng, n):
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
     got = np.asarray(bitonic.sort_u32(jnp.asarray(keys), chunk=CHUNK, interpret=True))
     np.testing.assert_array_equal(got, np.sort(keys))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dist", list(datagen.DISTRIBUTIONS))
 def test_keys_distributions(dist):
     n = 1 << 14
@@ -30,6 +40,7 @@ def test_keys_distributions(dist):
     np.testing.assert_array_equal(got, np.sort(keys))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dist", ["uniform", "few", "constant", "sorted"])
 def test_pairs_stable(dist):
     n = (1 << 14) + 311
@@ -37,6 +48,20 @@ def test_pairs_stable(dist):
     vals = np.arange(n, dtype=np.uint32)
     k, v = bitonic.sort_pairs_u32(
         jnp.asarray(keys), jnp.asarray(vals), chunk=CHUNK, interpret=True
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+@pytest.mark.parametrize("dist", ["uniform", "few"])
+def test_pairs_stable_small(dist):
+    """Fast-gate variant of test_pairs_stable (small n, multiple rounds)."""
+    n = (1 << 12) + 311
+    keys = datagen.generate_keys(n, seed=4, distribution=dist)
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = bitonic.sort_pairs_u32(
+        jnp.asarray(keys), jnp.asarray(vals), chunk=1 << 10, interpret=True
     )
     order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(np.asarray(k), keys[order])
@@ -68,7 +93,9 @@ def test_single_chunk_no_rounds(rng):
 
 
 @pytest.mark.parametrize("dist", ["uniform", "few", "constant"])
-@pytest.mark.parametrize("n", [1 << 12, (1 << 13) + 97])
+@pytest.mark.parametrize(
+    "n", [1 << 12, pytest.param((1 << 13) + 97, marks=pytest.mark.slow)]
+)
 def test_pairs_nonstable(dist, n):
     """stable=False: deterministic (key, value)-lexicographic order."""
     keys = datagen.generate_keys(n, seed=7, distribution=dist)
@@ -80,6 +107,44 @@ def test_pairs_nonstable(dist, n):
     order = np.lexsort((vals, keys))
     np.testing.assert_array_equal(np.asarray(k), keys[order])
     np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_transposed_layout_chunk(rng, monkeypatch):
+    """chunk >= 2^14 engages the 128x128 tile-transpose layout for bits
+    7..13; single-chunk keys sort covering the T<->N switches per phase.
+    (Opt-in engine path, so it is forced on and traced fresh here.)"""
+    monkeypatch.setattr(bitonic, "TRANSPOSE_OPT", True)
+    n = 1 << 14
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(
+        bitonic.sort_u32.__wrapped__(
+            jnp.asarray(keys), chunk=1 << 14, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+@pytest.mark.slow
+def test_transposed_layout_rounds_and_pairs(rng, monkeypatch):
+    """T layout across merge rounds (fused/local bodies) and the
+    packed-lazy stable carry with per-layout value gathers."""
+    monkeypatch.setattr(bitonic, "TRANSPOSE_OPT", True)
+    n = (1 << 15) + 311
+    keys = rng.integers(0, 64, size=n, dtype=np.uint64).astype(np.uint32)
+    vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(
+        bitonic.sort_u32.__wrapped__(
+            jnp.asarray(keys), chunk=1 << 14, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))
+    gk, gv = bitonic.sort_pairs_u32.__wrapped__(
+        jnp.asarray(keys), jnp.asarray(vals), chunk=1 << 14, interpret=True,
+        stable=True,
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(gk), keys[order])
+    np.testing.assert_array_equal(np.asarray(gv), vals[order])
 
 
 def test_pairs_nonstable_max_keys_and_values():

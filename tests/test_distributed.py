@@ -54,3 +54,111 @@ def test_presharded_input(mesh):
     )
     got = np.asarray(distributed.sort_sharded(sharded, mesh))
     np.testing.assert_array_equal(got, np.sort(keys))
+
+
+@pytest.mark.parametrize("n", [8 * 1024 - 3, 1000, 8 * 512 + 1])
+def test_ragged_global_n(mesh, n):
+    """Global N need not divide the mesh (reference handles any N on its
+    device, h.in:353): sentinel padding absorbs the remainder."""
+    keys = datagen.generate_keys(n, seed=21)
+    got = np.asarray(distributed.sort_sharded(jnp.asarray(keys), mesh))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_ragged_pairs_with_max_keys(mesh):
+    """Ragged N pairs incl. genuine 0xffffffff keys vs pad sentinels."""
+    n = 8 * 700 + 5
+    rng = np.random.default_rng(22)
+    keys = datagen.generate_keys(n, seed=23, distribution="few")
+    keys[rng.random(n) < 0.1] = 0xFFFFFFFF
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = distributed.sort_pairs_sharded(
+        jnp.asarray(keys), jnp.asarray(vals), mesh
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_sharded_count_path(mesh):
+    """Distributed indirect sort: global prefix sorted, suffix untouched."""
+    n, c = 8 * 1024, 3000
+    keys = datagen.generate_keys(n, seed=24)
+    got = np.asarray(distributed.sort_sharded(jnp.asarray(keys), mesh, count=c))
+    np.testing.assert_array_equal(got[:c], np.sort(keys[:c]))
+    np.testing.assert_array_equal(got[c:], keys[c:])
+
+
+def test_sharded_pairs_count_path(mesh):
+    n, c = 8 * 512, 2000
+    keys = datagen.generate_keys(n, seed=25, distribution="few")
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = distributed.sort_pairs_sharded(
+        jnp.asarray(keys), jnp.asarray(vals), mesh, count=c
+    )
+    order = np.argsort(keys[:c], kind="stable")
+    np.testing.assert_array_equal(np.asarray(k)[:c], keys[:c][order])
+    np.testing.assert_array_equal(np.asarray(v)[:c], vals[:c][order])
+    np.testing.assert_array_equal(np.asarray(k)[c:], keys[c:])
+    np.testing.assert_array_equal(np.asarray(v)[c:], vals[c:])
+
+
+@pytest.mark.parametrize("dist", ["uniform", "constant"])
+def test_overlap_exchange(mesh, dist):
+    """Source-split exchange + bitonic-merge combine (overlap=True)."""
+    n = 8 * 2048
+    keys = datagen.generate_keys(n, seed=26, distribution=dist)
+    got = np.asarray(
+        distributed.sort_sharded(jnp.asarray(keys), mesh, overlap=True)
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_pallas_engine_under_shard_map(mesh):
+    """The production Pallas kernels running inside shard_map (interpret
+    mode on the CPU mesh) — the combination the real pod executes."""
+    from vulkan_radix_sort_tpu.config import SortConfig
+
+    n = 8 * 1024 + 17
+    cfg = SortConfig(chunk=1 << 10, interpret=True)
+    keys = datagen.generate_keys(n, seed=27, distribution="zipf")
+    got = np.asarray(
+        distributed.sort_sharded(
+            jnp.asarray(keys), mesh, config=cfg, use_pallas=True
+        )
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+@pytest.mark.slow
+def test_pallas_pairs_under_shard_map(mesh):
+    from vulkan_radix_sort_tpu.config import SortConfig
+
+    n = 8 * 1024
+    cfg = SortConfig(chunk=1 << 10, interpret=True)
+    keys = datagen.generate_keys(n, seed=28, distribution="few")
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = distributed.sort_pairs_sharded(
+        jnp.asarray(keys), jnp.asarray(vals), mesh, config=cfg,
+        use_pallas=True,
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+@pytest.mark.slow
+def test_pallas_overlap_under_shard_map(mesh):
+    """overlap=True with the real merge kernels (interpret) under shard_map."""
+    from vulkan_radix_sort_tpu.config import SortConfig
+
+    n = 8 * 2048  # m=2048 >= 1024 so the bitonic merge path engages
+    cfg = SortConfig(chunk=1 << 10, interpret=True)
+    keys = datagen.generate_keys(n, seed=29)
+    got = np.asarray(
+        distributed.sort_sharded(
+            jnp.asarray(keys), mesh, config=cfg, use_pallas=True,
+            overlap=True,
+        )
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))

@@ -4,11 +4,35 @@ broadened per SURVEY.md §4 to adversarial shapes)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from vulkan_radix_sort_tpu.ops import bitonic
 from vulkan_radix_sort_tpu.utils import datagen
 
 
+def test_fuzz_small(rng):
+    """Fast-gate fuzz: random small shapes/distributions, keys + stable
+    pairs (both arrays asserted) against the NumPy oracle."""
+    dists = list(datagen.DISTRIBUTIONS)
+    for trial in range(3):
+        n = int(rng.integers(1, 1 << 11))
+        chunk = 1 << int(rng.integers(8, 10))
+        dist = dists[trial % len(dists)]
+        keys = datagen.generate_keys(n, seed=50 + trial, distribution=dist)
+        got = np.asarray(
+            bitonic.sort_u32(jnp.asarray(keys), chunk=chunk, interpret=True)
+        )
+        np.testing.assert_array_equal(got, np.sort(keys))
+        vals = datagen.generate_keys(n, seed=60 + trial)
+        gk, gv = bitonic.sort_pairs_u32(
+            jnp.asarray(keys), jnp.asarray(vals), chunk=chunk, interpret=True
+        )
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(np.asarray(gk), keys[order])
+        np.testing.assert_array_equal(np.asarray(gv), vals[order])
+
+
+@pytest.mark.slow
 def test_fuzz_keys_and_pairs(rng):
     dists = list(datagen.DISTRIBUTIONS)
     for trial in range(8):
@@ -28,14 +52,18 @@ def test_fuzz_keys_and_pairs(rng):
         )
         order = np.argsort(keys, kind="stable")
         np.testing.assert_array_equal(
+            np.asarray(gk), keys[order], err_msg=f"kv keys n={n} chunk={chunk} {dist}"
+        )
+        np.testing.assert_array_equal(
             np.asarray(gv), vals[order], err_msg=f"kv n={n} chunk={chunk} {dist}"
         )
 
 
 def test_fuzz_reduced_bit_range(rng):
     """Reduced key ranges (the reference generator's `bits` param,
-    data_generator.cc:12-15) stress duplicate-heavy stability."""
-    for bits in (1, 4, 12):
+    data_generator.cc:12-15) stress duplicate-heavy stability. One shape
+    for all bit widths so the interpret tracing cost is paid once."""
+    for bits in (1, 12):
         n = 5000
         keys = datagen.generate_keys(n, seed=bits, bits=bits)
         vals = np.arange(n, dtype=np.uint32)
@@ -47,6 +75,7 @@ def test_fuzz_reduced_bit_range(rng):
         np.testing.assert_array_equal(np.asarray(gv), vals[order])
 
 
+@pytest.mark.slow
 def test_fuzz_nonstable_pairs(rng):
     """stable=False: (key, value)-lexicographic order on random shapes,
     including duplicate-heavy reduced bit ranges."""

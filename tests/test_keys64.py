@@ -107,14 +107,75 @@ def test_wide_guards():
     assert s.storage_requirements() > 8 * n  # wide estimator counts words
 
 
-def test_u64_kv_unsupported():
+def test_u64_key_value_stable():
+    """64-bit key-value: stable order vs the NumPy stable-argsort oracle,
+    with forced hi-word ties and duplicate full keys."""
     import jax.numpy as jnp
 
-    import vulkan_radix_sort_tpu as vrs
-
-    n = 128
-    keys = np.arange(n, dtype=np.uint64)
-    vals = np.arange(n, dtype=np.uint32)
+    n = 1500
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+    keys[rng.random(n) < 0.4] = np.uint64(0xDEADBEEF00001234)
+    vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
     s = _sorter(n, jnp.uint64)
-    with pytest.raises(NotImplementedError):
-        s.sort_key_value(jnp.asarray(keys), jnp.asarray(vals))
+    gk, gv = s.sort_key_value(jnp.asarray(keys), jnp.asarray(vals))
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(gk), keys[order])
+    np.testing.assert_array_equal(np.asarray(gv), vals[order])
+
+
+def test_u64_key_value_nonstable():
+    """stable=False: (key, value)-lexicographic, deterministic."""
+    import jax.numpy as jnp
+
+    n = 1200
+    rng = np.random.default_rng(6)
+    keys = rng.integers(0, 4, size=n, dtype=np.uint64) + np.uint64(
+        0xFFFFFFFFFFFFFFFC
+    )  # max-range keys stress the sentinel contract
+    vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    s = _sorter(n, jnp.uint64)
+    gk, gv = s.sort_key_value(jnp.asarray(keys), jnp.asarray(vals), stable=False)
+    order = np.lexsort((vals, keys))
+    np.testing.assert_array_equal(np.asarray(gk), keys[order])
+    np.testing.assert_array_equal(np.asarray(gv), vals[order])
+
+
+@pytest.mark.parametrize("stable", [True, False])
+def test_u64_kv_count_path(stable):
+    """Indirect (count=) 64-bit key-value: prefix sorted, tail untouched."""
+    import jax.numpy as jnp
+
+    n, m = 1024, 700
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+    keys[rng.random(n) < 0.3] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    s = _sorter(n, jnp.uint64)
+    gk, gv = s.sort_key_value(
+        jnp.asarray(keys), jnp.asarray(vals), count=m, stable=stable
+    )
+    if stable:
+        order = np.argsort(keys[:m], kind="stable")
+    else:
+        order = np.lexsort((vals[:m], keys[:m]))
+    np.testing.assert_array_equal(np.asarray(gk)[:m], keys[:m][order])
+    np.testing.assert_array_equal(np.asarray(gv)[:m], vals[:m][order])
+    np.testing.assert_array_equal(np.asarray(gk)[m:], keys[m:])
+    np.testing.assert_array_equal(np.asarray(gv)[m:], vals[m:])
+
+
+def test_i64_key_value():
+    """Signed 64-bit keys carry values through the encode/decode."""
+    import jax.numpy as jnp
+
+    n = 800
+    rng = np.random.default_rng(8)
+    keys = rng.integers(-(2**63), 2**63, size=n, dtype=np.int64)
+    keys[: n // 4] = -7  # duplicates across the sign boundary
+    vals = np.arange(n, dtype=np.uint32)
+    s = _sorter(n, jnp.int64)
+    gk, gv = s.sort_key_value(jnp.asarray(keys), jnp.asarray(vals))
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(gk), keys[order])
+    np.testing.assert_array_equal(np.asarray(gv), vals[order])

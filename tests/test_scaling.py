@@ -1,0 +1,30 @@
+"""Phase-fraction / scaling harness smoke tests (CPU mesh proxy)."""
+
+import jax
+import pytest
+
+from vulkan_radix_sort_tpu.parallel import distributed, scaling
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return distributed.make_mesh(8)
+
+
+def test_phase_report_shape(mesh):
+    rep = scaling.phase_report(mesh, 8 * 512, iters=1)
+    for key in ("local_sort_s", "exchange_s", "resort_s", "full_s",
+                "overlap_hidden_s", "exchange_fraction"):
+        assert key in rep
+    assert rep["devices"] == 8
+    assert rep["full_s"] > 0
+    assert 0.0 <= rep["exchange_fraction"] <= 1.0
+
+
+@pytest.mark.slow
+def test_scaling_report_rows():
+    rows = scaling.scaling_report(512, device_counts=[1, 2, 4], iters=1)
+    assert len(rows) == 3
+    assert rows[0]["weak_efficiency"] == 1.0
+    assert all(r["full_s"] > 0 for r in rows)

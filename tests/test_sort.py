@@ -14,17 +14,43 @@ from vulkan_radix_sort_tpu.utils import datagen
 CFG = SortConfig(block=1024, flush_rows=4, interpret=True, backend="pallas")
 
 
-@pytest.mark.parametrize("dist", list(datagen.DISTRIBUTIONS))
+@pytest.mark.parametrize(
+    "dist",
+    [
+        d if d in ("uniform", "constant")
+        else pytest.param(d, marks=pytest.mark.slow)
+        for d in datagen.DISTRIBUTIONS
+    ],
+)
 def test_pallas_sort_keys_all_distributions(dist):
+    # multi-block size keeps every kernel path live; the full 2^15 sweep
+    # across all distributions runs under -m slow (single-core interpret
+    # time budget for the default gate)
+    n = 1 << 13
+    keys = datagen.generate_keys(n, seed=7, distribution=dist)
+    got = np.asarray(radix.sort_u32(jnp.asarray(keys), config=CFG))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dist", list(datagen.DISTRIBUTIONS))
+def test_pallas_sort_keys_large(dist):
     n = 1 << 15
     keys = datagen.generate_keys(n, seed=7, distribution=dist)
     got = np.asarray(radix.sort_u32(jnp.asarray(keys), config=CFG))
     np.testing.assert_array_equal(got, np.sort(keys))
 
 
-@pytest.mark.parametrize("dist", ["uniform", "few", "constant"])
+@pytest.mark.parametrize(
+    "dist",
+    [
+        "uniform",
+        pytest.param("few", marks=pytest.mark.slow),
+        pytest.param("constant", marks=pytest.mark.slow),
+    ],
+)
 def test_pallas_sort_pairs_stable(dist):
-    n = 1 << 15
+    n = 1 << 13
     keys = datagen.generate_keys(n, seed=8, distribution=dist)
     vals = np.arange(n, dtype=np.uint32)
     k, v = radix.sort_pairs_u32(jnp.asarray(keys), jnp.asarray(vals), config=CFG)
@@ -38,6 +64,33 @@ def test_non_block_multiple_and_small_sizes(rng):
         keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
         got = np.asarray(radix.sort_u32(jnp.asarray(keys), config=CFG))
         np.testing.assert_array_equal(got, np.sort(keys), err_msg=f"n={n}")
+
+
+@pytest.mark.slow
+def test_radix_fuzz(rng):
+    """Radix-backend fuzz at non-trivial sizes: random shapes, block
+    geometries, and distributions, keys + stable pairs."""
+    dists = list(datagen.DISTRIBUTIONS)
+    for trial in range(5):
+        n = int(rng.integers(1 << 12, 1 << 15))
+        block = 1 << int(rng.integers(9, 11))
+        cfg = SortConfig(block=block, flush_rows=4, interpret=True,
+                         backend="pallas")
+        dist = dists[trial % len(dists)]
+        keys = datagen.generate_keys(n, seed=300 + trial, distribution=dist)
+        got = np.asarray(radix.sort_u32(jnp.asarray(keys), config=cfg))
+        np.testing.assert_array_equal(
+            got, np.sort(keys), err_msg=f"radix keys n={n} block={block}"
+        )
+        vals = datagen.generate_keys(n, seed=400 + trial)
+        gk, gv = radix.sort_pairs_u32(
+            jnp.asarray(keys), jnp.asarray(vals), config=cfg
+        )
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(np.asarray(gk), keys[order])
+        np.testing.assert_array_equal(
+            np.asarray(gv), vals[order], err_msg=f"radix kv n={n}"
+        )
 
 
 def test_sentinel_keys_sort_correctly(rng):
@@ -100,6 +153,31 @@ class TestSorterAPI:
         b = s.storage_requirements(key_value=True)
         assert b > a > 4 * (1 << 20)
 
+    def test_storage_requirements_vs_compiled_memory(self):
+        """The capacity-planning estimate must bound the compiled program's
+        actual live memory (arguments + outputs + XLA temps) to within a
+        small factor, not just be monotone."""
+        import jax
+
+        n = 1 << 18
+        s = vrs.create_sorter(n, backend="network", interpret=False) \
+            if jax.devices()[0].platform == "tpu" else \
+            vrs.create_sorter(n, backend="xla")
+        x = jnp.zeros((n,), jnp.uint32)
+        est = s.storage_requirements(key_value=True)
+        compiled = s._sort_pairs_fn.lower(x, x).compile()
+        ma = compiled.memory_analysis()
+        actual = (
+            ma.argument_size_in_bytes
+            + ma.output_size_in_bytes
+            + ma.temp_size_in_bytes
+        )
+        assert actual > 0
+        # estimate within [actual/4, 8*actual]: a real capacity bound, with
+        # headroom for XLA's buffer reuse (below) and alignment (above)
+        assert est >= actual / 4, (est, actual)
+        assert est <= 8 * actual, (est, actual)
+
     def test_validation_errors(self):
         s = vrs.create_sorter(128)
         with pytest.raises(ValueError):
@@ -143,16 +221,25 @@ class TestNonStableKV:
         np.testing.assert_array_equal(np.asarray(k), keys[order])
         np.testing.assert_array_equal(np.asarray(v), vals[order])
 
-    def test_nonstable_with_count_raises(self, rng):
+    def test_nonstable_with_count(self, rng):
+        """stable=False + count=: prefix in (key, value)-lex order (masked
+        values make sentinel pairs the lex maximum), tails untouched —
+        including genuine 0xffffffff keys AND values inside the range."""
         import vulkan_radix_sort_tpu as vrs
 
-        n = 1 << 10
+        n, c = 1 << 10, 700
         keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
-        vals = np.arange(n, dtype=np.uint32)
-        s = vrs.create_sorter(max_n=n)
-        with pytest.raises(NotImplementedError):
-            s.sort_key_value(jnp.asarray(keys), jnp.asarray(vals),
-                             count=5, stable=False)
+        keys[rng.random(n) < 0.2] = 0xFFFFFFFF
+        vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+        vals[rng.random(n) < 0.2] = 0xFFFFFFFF
+        s = vrs.create_sorter(max_n=n, backend="network", interpret=True)
+        gk, gv = s.sort_key_value(jnp.asarray(keys), jnp.asarray(vals),
+                                  count=c, stable=False)
+        order = np.lexsort((vals[:c], keys[:c]))
+        np.testing.assert_array_equal(np.asarray(gk)[:c], keys[:c][order])
+        np.testing.assert_array_equal(np.asarray(gv)[:c], vals[:c][order])
+        np.testing.assert_array_equal(np.asarray(gk)[c:], keys[c:])
+        np.testing.assert_array_equal(np.asarray(gv)[c:], vals[c:])
 
     def test_create_sorter_config_kwarg_honored(self):
         """Regression: config= used to be silently dropped."""

@@ -42,10 +42,6 @@ def main(argv=None) -> int:
                         "upsweep/spine/downsweep %% lines, bench.cc:178-186)")
     args = p.parse_args(argv)
 
-    if args.nonstable and args.indirect:
-        p.error("--nonstable cannot be combined with --indirect "
-                "(stable=False has no dynamic-count path)")
-
     from ..config import enable_compilation_cache
 
     enable_compilation_cache()
@@ -103,6 +99,9 @@ def print_stage_split(backend: str, *, steps: int, iters: int,
     )
     print(f"[network] stages at n={n}: {parts}  "
           f"[{st['rounds']} merge rounds, sum {tot * 1e3:.3f} ms]")
+    # exact per-dispatch (pallas_call) times — the 15-timestamp analog
+    for name, t in st.get("kernels", []):
+        print(f"[network]   {name:<14} {t * 1e3:8.3f} ms")
     return st
 
 

@@ -148,10 +148,10 @@ class Sorter:
         """
         cfg = self.config
         if self.wide:
-            # two padded uint32 word buffers (hi, lo) + the 8-byte
-            # input/output arrays themselves
+            # padded uint32 word buffers — (hi, lo), plus aux tiebreak and
+            # value for key-value — + the 8-byte input/output arrays
             np2 = 1 << max(8, (self.max_n - 1).bit_length())
-            return 2 * 4 * np2 + 2 * 8 * self.max_n
+            return 4 * np2 * (4 if key_value else 2) + 2 * 8 * self.max_n
         if self.backend == "network":
             # padded (in-place aliased) key buffer, + value and index
             # buffers for the stable KV path
@@ -215,6 +215,28 @@ class Sorter:
         cfg, backend = self.config, self.backend_kv
         enc, dec = self._encode, self._decode
 
+        if self.wide:
+            require = self._require_x64
+
+            @jax.jit
+            def inner(keys, values):
+                hi, lo = bitops.split_u64(enc(keys))
+                with jax.enable_x64(False):
+                    if backend == "network":
+                        hi, lo, v = bitonic.sort_pairs_w64(
+                            hi, lo, values, chunk=cfg.chunk,
+                            interpret=cfg.interpret, stable=stable,
+                        )
+                    else:
+                        # stable word sort == stable u64 sort; also a valid
+                        # answer to a stable=False request
+                        hi, lo, v = jax.lax.sort(
+                            (hi, lo, values), num_keys=2, is_stable=True
+                        )
+                return dec(bitops.merge_u64(hi, lo)), v
+
+            return lambda keys, values: (require(), inner(keys, values))[1]
+
         @jax.jit
         def f(keys, values):
             k, v = _sort_pairs_dispatch(
@@ -226,7 +248,9 @@ class Sorter:
 
     @functools.cached_property
     def _sort_count_fn(self):
-        cfg, backend = self.config, self.backend
+        # the masked count path is internally a pairs sort, so the backend
+        # choice follows the pairs crossover, not the keys one
+        cfg, backend = self.config, self.backend_kv
         enc, dec = self._encode, self._decode
 
         if self.wide:
@@ -268,17 +292,64 @@ class Sorter:
             if backend == "xla":
                 k = reference.sort_keys_count(u, count)
             else:
-                # Stable sort of (masked key, original index) keeps genuine
-                # 0xffffffff keys inside the range ahead of the sentinels.
-                k, _ = _sort_pairs_dispatch(backend, cfg, masked, idx)
+                # (masked key, index) pairs are unique, so the 2-array
+                # lexicographic stable=False path returns the identical
+                # permutation as the 3-array stable dispatch at the
+                # measured ~1.4x lower cost. Genuine 0xffffffff keys stay
+                # ahead of the sentinels because their index is < count.
+                k, _ = _sort_pairs_dispatch(
+                    backend, cfg, masked, idx, stable=False
+                )
             return dec(jnp.where(in_range, k, u))
 
         return f
 
     @functools.cached_property
     def _sort_pairs_count_fn(self):
+        return self._make_sort_pairs_count_fn(True)
+
+    @functools.cached_property
+    def _sort_pairs_count_unstable_fn(self):
+        return self._make_sort_pairs_count_fn(False)
+
+    def _make_sort_pairs_count_fn(self, stable):
         cfg, backend = self.config, self.backend_kv
         enc, dec = self._encode, self._decode
+
+        if self.wide:
+            require = self._require_x64
+
+            @jax.jit
+            def inner(keys, values, count):
+                u = enc(keys)
+                n = u.shape[0]
+                idx = jnp.arange(n, dtype=jnp.uint32)
+                in_range = idx < count
+                masked = jnp.where(
+                    in_range, u, jnp.uint64(0xFFFFFFFFFFFFFFFF)
+                )
+                # non-stable: mask values too, making sentinel pairs the
+                # lexicographic maximum — genuine (max-key, max-value)
+                # pairs are bitwise interchangeable with sentinels, so the
+                # prefix/tail split stays exact
+                mv = values if stable else jnp.where(
+                    in_range, values, jnp.uint32(0xFFFFFFFF)
+                )
+                hi, lo = bitops.split_u64(masked)
+                with jax.enable_x64(False):
+                    if backend == "network":
+                        hi, lo, v = bitonic.sort_pairs_w64(
+                            hi, lo, mv, chunk=cfg.chunk,
+                            interpret=cfg.interpret, stable=stable,
+                        )
+                    else:
+                        hi, lo, _, v = jax.lax.sort(
+                            (hi, lo, idx, mv), num_keys=3
+                        )
+                k = jnp.where(in_range, bitops.merge_u64(hi, lo), u)
+                return dec(k), jnp.where(in_range, v, values)
+
+            return lambda k, v, c: (require(), inner(k, v, c))[1]
 
         @jax.jit
         def f(keys, values, count):
@@ -287,10 +358,16 @@ class Sorter:
             idx = jnp.arange(n, dtype=jnp.uint32)
             in_range = idx < count
             masked = jnp.where(in_range, u, jnp.uint32(0xFFFFFFFF))
+            mv = values if stable else jnp.where(
+                in_range, values, jnp.uint32(0xFFFFFFFF)
+            )
             if backend == "xla":
-                k, _, v = jax.lax.sort((masked, idx, values), num_keys=2)
+                # stable answer, also valid for a stable=False request
+                k, _, v = jax.lax.sort((masked, idx, mv), num_keys=2)
             else:
-                k, v = _sort_pairs_dispatch(backend, cfg, masked, values)
+                k, v = _sort_pairs_dispatch(
+                    backend, cfg, masked, mv, stable=stable
+                )
             return dec(jnp.where(in_range, k, u)), jnp.where(in_range, v, values)
 
         return f
@@ -328,18 +405,13 @@ class Sorter:
         a valid non-stable result.
         """
         self._check(keys, values)
-        if self.wide:
-            raise NotImplementedError(
-                "64-bit keys support keys-only sorting; key-value requires "
-                "a 4-array carry (hi, lo, value[, index]) — not implemented"
-            )
         if count is None:
             if not stable:
                 return self._sort_pairs_unstable_fn(keys, values)
             return self._sort_pairs_fn(keys, values)
         if not stable:
-            raise NotImplementedError(
-                "stable=False is not supported together with count="
+            return self._sort_pairs_count_unstable_fn(
+                keys, values, jnp.uint32(count)
             )
         return self._sort_pairs_count_fn(keys, values, jnp.uint32(count))
 

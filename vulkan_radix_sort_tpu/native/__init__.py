@@ -103,12 +103,38 @@ def sort_pairs_u32(keys: np.ndarray, values: np.ndarray):
     return k, v
 
 
+def sort_u32_inplace(buf: np.ndarray) -> np.ndarray:
+    """Destructive in-place sort of a contiguous uint32 buffer — the
+    timed-region primitive (the copy stays outside the clock, matching the
+    reference's CPU timing, bench/cpu_benchmark.cc:22-25)."""
+    lib = _load()
+    if lib is None:
+        buf.sort(kind="stable")
+        return buf
+    lib.vrs_sort_u32(_as_u32p(buf), buf.size)
+    return buf
+
+
+def sort_pairs_u32_inplace(k: np.ndarray, v: np.ndarray):
+    """Destructive in-place stable key-value sort of contiguous buffers."""
+    lib = _load()
+    if lib is None:
+        order = np.argsort(k, kind="stable")
+        k[:] = k[order]
+        v[:] = v[order]
+        return k, v
+    lib.vrs_sort_pairs_u32(_as_u32p(k), _as_u32p(v), k.size)
+    return k, v
+
+
 def generate_uniform(n: int, seed: int = 0, bits: int = 32) -> np.ndarray:
     """mt19937 uniform keys (reference data_generator.cc parity)."""
     lib = _load()
     if lib is None:
         rng = np.random.default_rng(seed)
-        mask = 0xFFFFFFFF if bits >= 32 else (1 << bits) - 1
+        # mirror the native clamp (vrs_native.cpp): bits outside (0, 32)
+        # means the full 32-bit range
+        mask = 0xFFFFFFFF if bits >= 32 or bits <= 0 else (1 << bits) - 1
         return (
             rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
             & np.uint32(mask)

@@ -5,7 +5,7 @@ downsweep scatters keys through shared memory with per-lane atomics and
 ballots (reference: src/shader/downsweep.slang:88-201) — TPU has neither
 scatter nor ballots, and microbenchmarks (tools/microbench.py) measured
 one-hot-matmul radix ranking at ~1.5 ns/key/subsort while a full
-compare-exchange stage over VMEM tiles costs ~2.2 ps/element. On this
+compare-exchange stage over VMEM tiles costs ~2 ps/element. On this
 hardware the fastest exact sort is a network of roll+min/max+select stages:
 the VPU runs one full CE stage over 33M keys in ~75 us.
 
@@ -22,6 +22,33 @@ Direction masks follow the classic XOR-network form: during phase k an
 element descends iff bit log2(k) of its global flat index is set; for
 k >= C that bit is a scalar per block/group and is derived from program_id.
 
+Carry modes — what moves through the network, and how (the _Mode tuple):
+  keys        (k,)            1 array, min/max stages
+  pairs       (k, v)          2 arrays, (k, v) lexicographic — non-stable KV
+                              (equal keys emerge value-ascending) and the
+                              64-bit-keys (hi, lo) word path
+  stable      (k, tie, v)     (k, tie) compared, v rides every stage — the
+                              fallback stable KV for n > 2^25
+  packed      (k, aux, v)     aux = idx<<7 | lane-origin. (k, aux) compared;
+                              the value array sits IDLE through runs of
+                              lane-axis stages (elements only move within a
+                              128-lane row there) and is realigned by ONE
+                              jnp.take_along_axis lane gather per run using
+                              the origin bits — stable key-value at close to
+                              2-array cost instead of carrying a third array
+                              through every stage. Requires n <= 2^25 so
+                              (idx, origin) packs into 32 bits.
+  w3 / w4     (hi, lo, v[, aux])  the 64-bit key-value variants.
+
+Stability: a lexicographic (key, original-index) total order makes the
+network's output exactly the stable-by-key permutation the reference
+verifies against std::stable_sort (reference: bench/cpu_benchmark.cc:33-49,
+bench/bench.cc:41-64). In packed mode the index occupies aux bits 7..31;
+the low 7 origin bits never decide a comparison between genuine elements
+(indices are unique), so patching them in-kernel is sound. Values ride as a
+separate 32-bit buffer, the reference library's signature design
+(reference: README.md:60).
+
 Compile-time discipline: every stage is emitted with *static* roll shifts
 (dynamic tpu.dynamic_rotate and lax.fori_loop carries both measured 2-4x
 slower per stage), but Mosaic compile time grows superlinearly with ops per
@@ -30,13 +57,6 @@ the chunk network is split into several pallas_call's of at most
 ~MAX_GROUP_STAGES stages each. The extra HBM round trips per split cost
 ~0.8 ms each at 2^25 — noise next to the compile-time cliff.
 
-Stability / key-value: the KV path carries (key, value, original index) and
-compares (key, index) lexicographically — a total order, which makes the
-network's output exactly the stable-by-key permutation the reference
-verifies against std::stable_sort (reference: bench/cpu_benchmark.cc:33-49,
-bench/bench.cc:41-64). Values ride as a separate 32-bit buffer, the
-reference library's signature design (reference: README.md:60).
-
 uint32 keys are compared as int32 with the sign bit flipped (Mosaic has no
 unsigned vector min/max); the flip is undone on store.
 """
@@ -44,6 +64,7 @@ unsigned vector min/max); the flip is undone on store.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -55,27 +76,77 @@ LANES = 128
 ROW_BITS = 7  # log2(LANES)
 SIGN = np.int32(-0x80000000)  # plain scalar: jnp module-level arrays would
 # be captured as pallas constants
+ORIGIN_MASK = np.int32(LANES - 1)
+IDX_MASK = np.int32(~(LANES - 1))
 
-# stage budget per emitted kernel (keys-only; key-value kernels carry ~2.5x
-# the ops per stage so they get a proportionally smaller budget). Compile
-# time per kernel grows superlinearly with the budget, but with the
-# persistent compilation cache (config.enable_compilation_cache) that cost
-# is paid once per kernel shape, so the budgets are env-tunable.
+# largest n for which (original index << 7 | lane origin) fits 32 bits with
+# padding sentinels (0xffffffff) still strictly above every genuine aux:
+# at n == 2^25 exactly the padded size equals n, so no sentinels exist and
+# the top aux value is free to be used by the last element
+MAX_PACKED_N = 1 << 25
+
+# stage budget per emitted kernel, by carried-array count (multi-array
+# kernels cost ~2-4x the ops per stage so they get proportionally smaller
+# budgets). Compile time per kernel grows superlinearly with the budget, but
+# with the persistent compilation cache (config.enable_compilation_cache)
+# that cost is paid once per kernel shape, so the budgets are env-tunable.
 import os as _os
 
 MAX_GROUP_STAGES = int(_os.environ.get("VRS_MAX_GROUP_STAGES", 96))
 MAX_GROUP_STAGES_KV = int(_os.environ.get("VRS_MAX_GROUP_STAGES_KV", 40))
 MAX_GROUP_STAGES_PAIRS = int(_os.environ.get("VRS_MAX_GROUP_STAGES_PAIRS", 64))
+MAX_GROUP_STAGES_W4 = int(_os.environ.get("VRS_MAX_GROUP_STAGES_W4", 30))
+
+# Transposed-layout optimization: stages on flat-index bits 7..13 are
+# row-distance (sublane) exchanges in the natural (rows, 128) layout —
+# measured 2.35 ps/elem vs 1.34 for lane-axis stages. A 128x128 tile
+# transpose swaps lane bits 0-6 with row bits 7-13, turning those stages
+# into lane-axis ones; a descending stage run pays two transposes and
+# converts up to 7 stages. Requires a block of >= 128 rows (C >= 2^14)
+# and a run converting >= MIN_T_STAGES stages.
+#
+# DEFAULT OFF: the single-tile transpose probe measured 0.72 ps/elem, but
+# the batched (R/128, 128, 128) transpose this path emits lowers to ~12
+# ps/elem on the current Mosaic — the 34 transpose events per 2^25 sort
+# cost ~14 ms against ~9 ms of stage savings (keys 24.7 -> 38.4 ms
+# measured). The machinery stays (correct, interpret-tested) pending a
+# cheaper tile-transpose lowering; enable with VRS_TRANSPOSE=1.
+TRANSPOSE_OPT = _os.environ.get("VRS_TRANSPOSE", "0") == "1"
+MIN_T_STAGES = int(_os.environ.get("VRS_MIN_T_STAGES", 3))
 
 
 def _budget(na: int) -> int:
     return {1: MAX_GROUP_STAGES, 2: MAX_GROUP_STAGES_PAIRS,
-            3: MAX_GROUP_STAGES_KV}[na]
+            3: MAX_GROUP_STAGES_KV, 4: MAX_GROUP_STAGES_W4}[na]
 
 # scoped-VMEM ceiling per kernel: the Mosaic default (16 MB) is far below
 # the chip's physical VMEM (128 MB on v5e) and the unrolled network keeps
 # several live block-sized temporaries
 VMEM_LIMIT = 100 * 1024 * 1024
+
+
+class _Mode(NamedTuple):
+    """Static description of a carry: `words` lexicographically-compared
+    arrays (most significant first), optionally one riding (non-compared)
+    value array, optionally lazy (value idles through lane-stage runs,
+    realigned by a lane gather via origin bits in words[-1] & 127)."""
+
+    words: int
+    ride: bool
+    lazy: bool
+
+    @property
+    def n_arrays(self) -> int:
+        return self.words + (1 if self.ride else 0)
+
+
+MODE_KEYS = _Mode(1, False, False)
+MODE_PAIRS = _Mode(2, False, False)     # non-stable kv / u64 keys
+MODE_STABLE = _Mode(2, True, False)     # (k, idx, v) — fallback stable kv
+MODE_PACKED = _Mode(2, True, True)      # (k, aux, v) — fast stable kv
+MODE_W3 = _Mode(3, False, False)        # (hi, lo, v) — non-stable u64 kv
+MODE_W4 = _Mode(3, True, True)          # (hi, lo, aux, v) — stable u64 kv
+MODE_W4_BIG = _Mode(3, True, False)     # (hi, lo, idx, v) — n > 2^25
 
 
 def _log2(n: int) -> int:
@@ -111,13 +182,14 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift, axis=axis)
 
 
-def _stage_ce(arrs, axis, sh, up):
+def _ce(arrs, ncmp, axis, sh, up):
     """One ASCENDING compare-exchange at roll distance sh along axis.
 
-    Directions are handled outside via the negation trick: descending
-    regions run with bitwise-NOTed keys (and index tiebreaks), so every
-    stage is a plain ascending min/max — two ops cheaper per stage than
-    per-stage direction selects.
+    The first `ncmp` arrays are compared lexicographically; all arrays move
+    by the shared decision. Directions are handled outside via the negation
+    trick: descending regions run with bitwise-NOTed compared words, so
+    every stage is a plain ascending exchange — cheaper than per-stage
+    direction selects.
     """
     if len(arrs) == 1:
         (x,) = arrs
@@ -126,99 +198,217 @@ def _stage_ce(arrs, axis, sh, up):
         mx = jnp.maximum(x, pm)
         return (jnp.where(up, mn, _roll(mx, sh, axis=axis)),)
 
-    # Multi-array case: (key, tiebreak) compared lexicographically, every
-    # array moved by the same exchange decision.
-    #   2 arrays — non-stable pairs (key, value): the value IS the
-    #     tiebreak, so equal keys emerge value-ascending (deterministic)
-    #     and padding sentinels (0xffffffff, 0xffffffff) are
-    #     interchangeable with any bit-identical genuine pair.
-    #   3 arrays — stable (key, value, index): the original index breaks
-    #     ties, giving the reference's std::stable_sort order
-    #     (bench/cpu_benchmark.cc:33-49).
-    k = arrs[0]
-    tb = arrs[1] if len(arrs) == 2 else arrs[2]
-    partners = tuple(_roll(a, -sh, axis=axis) for a in arrs)
-    pk = partners[0]
-    ptb = partners[1] if len(arrs) == 2 else partners[2]
-    # int32, not bool: Mosaic cannot rotate i1 vectors
-    lt = jnp.where(
-        (pk < k) | ((pk == k) & (ptb < tb)), jnp.int32(1), jnp.int32(0)
-    )  # partner-before-mine
-    # take(i): up slot takes partner iff partner sorts first (asc);
-    # down slot i takes partner iff partner-of-up-slot(i-j) sorted first
-    take = jnp.where(up, lt, _roll(lt, sh, axis=axis)) > 0
+    partners = [_roll(a, -sh, axis=axis) for a in arrs]
+    # partner-sorts-first, built least-significant word up; stays a bool
+    # vector (i1) throughout — it is selected with, never rolled
+    lt = partners[ncmp - 1] < arrs[ncmp - 1]
+    for i in range(ncmp - 2, -1, -1):
+        lt = (partners[i] < arrs[i]) | ((partners[i] == arrs[i]) & lt)
 
-    def pick(arr, parr):
-        p = jnp.where(up, parr, _roll(arr, sh, axis=axis))
-        return jnp.where(take, p, arr)
-
-    return tuple(pick(a, p) for a, p in zip(arrs, partners))
+    out = []
+    for i, (a, p) in enumerate(zip(arrs, partners)):
+        if i == 0:
+            # the most significant word's pair-min/max are plain min/max
+            # (ties make lo == hi == a == p, so the lex decision is moot)
+            lo = jnp.minimum(a, p)
+            hi = jnp.maximum(a, p)
+        else:
+            lo = jnp.where(lt, p, a)
+            hi = jnp.where(lt, a, p)
+        # up slot i keeps the pair's lex-low; down slot i+sh gets the high
+        out.append(jnp.where(up, lo, _roll(hi, sh, axis=axis)))
+    return tuple(out)
 
 
-def _stage(arrs, j):
-    """Ascending CE stage at distance j over the row-major flat index."""
-    axis, sh = (1, j) if j < LANES else (0, j // LANES)
-    up = (_iota(arrs[0].shape, axis) & sh) == 0
-    return _stage_ce(arrs, axis, sh, up)
+def _tile_T(x):
+    """128x128 tile transpose of a (R, 128) array (R a multiple of 128):
+    swaps flat-index bits 0-6 (lanes) with bits 7-13 (low row bits)."""
+    R = x.shape[0]
+    return jnp.transpose(
+        x.reshape(R // LANES, LANES, LANES), (0, 2, 1)
+    ).reshape(R, LANES)
 
 
-def _desc_m32(shape, k):
-    """int32 mask: -1 where bit log2(k) of the flat index is set, else 0.
+class _Carry:
+    """In-kernel array carrier implementing a mode's compare/motion rules.
 
-    Computed with two shifts (no compare/select): broadcast bit t of the
-    axis iota arithmetically to all 32 bits.
+    Owns the flipped compared words and the riding value (if any), tracks
+    whether the value is lazily deferred, and emits the origin-tag
+    bookkeeping (refresh on entering a lane run, lane gather on leaving it)
+    for packed modes.
+
+    Layout: 'N' is the natural (rows, 128) layout; 'T' is the 128x128
+    tile-transposed layout where flat-index bits 7..13 live on the lane
+    axis (and bits 0..6 on the low row bits) — stage_bit() maps any flat
+    bit to the right (axis, distance) for the current layout, so the
+    bodies just declare which layout each run should execute in.
     """
-    t = _log2(k)
-    if k < LANES:
-        i = _iota(shape, 1)
-    else:
-        i = _iota(shape, 0)
-        t -= ROW_BITS
-    # int32 >> is arithmetic: broadcast bit t to all 32 bits
-    return (i << (31 - t)) >> 31
 
-
-def _negate(arrs, m32):
-    """XOR the compared arrays with a -1/0 mask: descending regions sort
-    ascending on NOTed values. Non-compared payload is untouched."""
-    if len(arrs) == 1:
-        return (arrs[0] ^ m32,)
-    if len(arrs) == 2:  # non-stable pairs: (key, value) both compared
-        k, v = arrs
-        return (k ^ m32, v ^ m32)
-    k, v, ix = arrs
-    return (k ^ m32, v, ix ^ m32)
-
-
-def _load(refs, na):
-    """na = number of carried arrays: 1 keys, 2 non-stable pairs, 3 stable
-    (key, value, index)."""
-    if na == 3:
-        k_ref, v_ref, ix_ref = refs[:3]
-        return (
-            _flip(k_ref[:]),
-            v_ref[:],
-            jax.lax.bitcast_convert_type(ix_ref[:], jnp.int32),
+    def __init__(self, mode: _Mode, refs):
+        self.mode = mode
+        self.words = [_flip(refs[i][:]) for i in range(mode.words)]
+        self.ride = (
+            jax.lax.bitcast_convert_type(refs[mode.words][:], jnp.int32)
+            if mode.ride
+            else None
         )
-    if na == 2:
-        # values are compared (lexicographic tiebreak) so they get the
-        # same unsigned->signed flip as keys
-        return (_flip(refs[0][:]), _flip(refs[1][:]))
-    return (_flip(refs[0][:]),)
+        self.lazy_active = False
+        self.layout = "N"
 
+    # -- layouts -----------------------------------------------------------
 
-def _store(refs, arrs, na):
-    if na == 3:
-        ko_ref, vo_ref, ixo_ref = refs[-3:]
-        ko_ref[:] = _unflip(arrs[0])
-        vo_ref[:] = arrs[1]
-        ixo_ref[:] = jax.lax.bitcast_convert_type(arrs[2], jnp.uint32)
-    elif na == 2:
-        ko_ref, vo_ref = refs[-2:]
-        ko_ref[:] = _unflip(arrs[0])
-        vo_ref[:] = _unflip(arrs[1])
-    else:
-        refs[-1][:] = _unflip(arrs[0])
+    def can_transpose(self) -> bool:
+        shape = self.words[0].shape
+        return (
+            TRANSPOSE_OPT
+            and len(shape) == 2
+            and shape[0] % LANES == 0
+            and shape[1] == LANES
+        )
+
+    def ensure_layout(self, layout: str):
+        if layout == self.layout:
+            return
+        self.sync()  # origin tags are layout-relative
+        self.words = [_tile_T(w) for w in self.words]
+        if self.mode.ride:
+            self.ride = _tile_T(self.ride)
+        self.layout = layout
+
+    def _bit_axis(self, b: int):
+        """(axis, distance-along-axis, iota-dim) for a flat-index bit in
+        the current layout."""
+        if self.layout == "N":
+            if b < ROW_BITS:
+                return 1, 1 << b
+            return 0, 1 << (b - ROW_BITS)
+        if ROW_BITS <= b < 2 * ROW_BITS:
+            return 1, 1 << (b - ROW_BITS)
+        if b < ROW_BITS:
+            return 0, 1 << b
+        return 0, 1 << (b - ROW_BITS)
+
+    def bit_m32(self, b: int):
+        """int32 mask: -1 where flat-index bit b is set (current layout),
+        built with two shifts (arithmetic broadcast of the bit)."""
+        shape = self.words[0].shape
+        axis, d = self._bit_axis(b)
+        t = _log2(d)
+        i = _iota(shape, axis)
+        return (i << (31 - t)) >> 31
+
+    # -- negation (direction regions) ------------------------------------
+
+    def negate(self, m32):
+        """XOR the compared words with a -1/0 int32 mask (array or scalar).
+
+        In lazy modes the tiebreak word's low 7 bits hold the origin tag,
+        which must survive negation untouched; masking them out of the
+        negation is sound because those bits never decide a comparison
+        between genuine elements (indices are unique in bits 7..31).
+        """
+        ws = self.words
+        for i in range(len(ws)):
+            if self.mode.lazy and i == len(ws) - 1:
+                ws[i] = ws[i] ^ (m32 & IDX_MASK)
+            else:
+                ws[i] = ws[i] ^ m32
+
+    # -- lazy-value bookkeeping ------------------------------------------
+
+    def _go_lazy(self):
+        if self.lazy_active or not (self.mode.lazy and self.mode.ride):
+            return
+        shape = self.words[0].shape
+        iota = _iota(shape, len(shape) - 1)
+        self.words[-1] = (self.words[-1] & IDX_MASK) | iota
+        self.lazy_active = True
+
+    def sync(self):
+        """Realign the riding value with the elements: one 128-lane gather
+        using the origin tags accumulated since the last refresh."""
+        if not self.lazy_active:
+            return
+        origin = self.words[-1] & ORIGIN_MASK
+        self.ride = jnp.take_along_axis(self.ride, origin, axis=-1)
+        self.lazy_active = False
+
+    def _active(self, with_ride: bool):
+        if self.mode.ride and with_ride:
+            return self.words + [self.ride]
+        return list(self.words)
+
+    def _put(self, arrs, with_ride: bool):
+        self.words = list(arrs[: self.mode.words])
+        if self.mode.ride and with_ride:
+            self.ride = arrs[-1]
+
+    # -- stages -----------------------------------------------------------
+
+    def stage_bit(self, b: int):
+        """Ascending CE stage pairing flat indices differing in bit b, in
+        whatever layout is current."""
+        axis, d = self._bit_axis(b)
+        if axis == 1:
+            self.stage_lane(d)
+        else:
+            self.stage_rows(d)
+
+    def stage(self, j: int):
+        """Ascending CE stage at distance j over the row-major flat index
+        of a (rows, LANES) layout (natural-layout callers)."""
+        assert self.layout == "N"
+        if j < LANES:
+            self.stage_lane(j)
+        else:
+            self.stage_rows(j // LANES)
+
+    def stage_lane(self, sh: int):
+        lazy = self.mode.lazy and self.mode.ride
+        if lazy:
+            self._go_lazy()
+        arrs = self._active(with_ride=not lazy)
+        shape = arrs[0].shape
+        up = (_iota(shape, len(shape) - 1) & sh) == 0
+        out = _ce(arrs, self.mode.words, len(shape) - 1, sh, up)
+        self._put(out, with_ride=not lazy)
+
+    def stage_rows(self, d: int):
+        """Exchange at distance d along the leading (row or block) axis —
+        elements change rows, so the riding value must move along."""
+        self.sync()
+        arrs = self._active(with_ride=True)
+        shape = arrs[0].shape
+        up = (_iota(shape, 0) & d) == 0
+        out = _ce(arrs, self.mode.words, 0, d, up)
+        self._put(out, with_ride=True)
+
+    def cross_run(self, G: int, rc: int, r: int):
+        """All cross stages of merge round r (block distances 2^(r-1)..1)
+        on the (G*rc, LANES) arrays viewed as (G, rc, LANES)."""
+        self.ensure_layout("N")
+        self.sync()
+        arrs = [a.reshape(G, rc, LANES) for a in self._active(True)]
+        shape = arrs[0].shape
+        for t in range(r - 1, -1, -1):
+            d = 1 << t
+            up = (_iota(shape, 0) & d) == 0
+            arrs = list(_ce(arrs, self.mode.words, 0, d, up))
+        self._put([a.reshape(G * rc, LANES) for a in arrs], True)
+
+    # -- load/store --------------------------------------------------------
+
+    def store(self, refs):
+        self.ensure_layout("N")
+        self.sync()
+        na = self.mode.n_arrays
+        outs = refs[-na:]
+        for i, w in enumerate(self.words):
+            outs[i][:] = _unflip(w)
+        if self.mode.ride:
+            outs[na - 1][:] = jax.lax.bitcast_convert_type(
+                self.ride, jnp.uint32
+            )
 
 
 # --------------------------------------------------------------------------
@@ -226,27 +416,45 @@ def _store(refs, arrs, na):
 # --------------------------------------------------------------------------
 
 
-def _chunk_phases_body(C, pk_lo, pk_hi, kv, refs):
-    arrs = _load(refs, kv)
-    shape = arrs[0].shape
+def _t_stage_count(hi_bit: int) -> int:
+    """How many stages of a descending run hi_bit..0 the T layout converts
+    from sublane to lane (bits 7..13)."""
+    return max(0, min(hi_bit, 13) - 7 + 1)
+
+
+def _chunk_phases_body(C, pk_lo, pk_hi, mode, refs):
+    c = _Carry(mode, refs)
     lc = _log2(C)
-    m_prev = jnp.int32(0)
+
+    def mask_of(spec):
+        # direction-mask specs are rebuilt in the *current* layout at
+        # negate time (a stored mask array from another layout would be
+        # misplaced); scalars are layout-independent
+        if spec is None:
+            return jnp.int32(0)
+        kind, v = spec
+        return v if kind == "scalar" else c.bit_m32(v)
+
+    prev = None
     for pk in range(pk_lo, pk_hi + 1):
         if pk == lc:
             # final phase: direction is bit log2(C) of the global index,
             # i.e. chunk parity — even chunks ascend, odd descend.
-            m = jnp.where(
-                (pl.program_id(0) & 1) == 1, jnp.int32(-1), jnp.int32(0)
-            )
+            cur = ("scalar", _scalar_m32((pl.program_id(0) & 1) == 1))
         else:
-            m = _desc_m32(shape, 1 << pk)
+            cur = ("bit", pk)
+        use_t = c.can_transpose() and _t_stage_count(pk - 1) >= MIN_T_STAGES
+        c.ensure_layout("T" if use_t else "N")
         # enter this phase's negation (XOR transitions compose)
-        arrs = _negate(arrs, m ^ m_prev)
+        c.negate(mask_of(cur) ^ mask_of(prev))
         for pj in range(pk - 1, -1, -1):
-            arrs = _stage(arrs, 1 << pj)
-        m_prev = m
-    arrs = _negate(arrs, m_prev)  # restore
-    _store(refs, arrs, kv)
+            if use_t and pj == ROW_BITS - 1:
+                c.ensure_layout("N")
+            c.stage_bit(pj)
+        prev = cur
+    c.ensure_layout("N")
+    c.negate(mask_of(prev))  # restore
+    c.store(refs)
 
 
 def _phase_groups(lc: int, budget: int):
@@ -273,21 +481,18 @@ def _scalar_m32(pred):
     return jnp.where(pred, jnp.int32(-1), jnp.int32(0))
 
 
-def _cross_kernel_body(r, kv, refs):
+def _cross_kernel_body(r, mode, refs):
     """refs blocks are (G=2^r, SR, 128); stage distances are along dim 0."""
-    arrs = _load(refs, kv)
-    G = arrs[0].shape[0]
+    c = _Carry(mode, refs)
+    G = c.words[0].shape[0]
     assert G == 1 << r
     # bit log2(C)+r of the global index = group parity, scalar
     m = _scalar_m32((pl.program_id(0) & 1) == 1)
-    arrs = _negate(arrs, m)
-    shape = arrs[0].shape
+    c.negate(m)
     for t in range(r - 1, -1, -1):
-        d = 1 << t
-        up = (_iota(shape, 0) & d) == 0
-        arrs = _stage_ce(arrs, 0, d, up)
-    arrs = _negate(arrs, m)
-    _store(refs, arrs, kv)
+        c.stage_rows(1 << t)
+    c.negate(m)
+    c.store(refs)
 
 
 # --------------------------------------------------------------------------
@@ -295,15 +500,22 @@ def _cross_kernel_body(r, kv, refs):
 # --------------------------------------------------------------------------
 
 
-def _local_kernel_body(C, r, kv, refs):
-    arrs = _load(refs, kv)
+def _local_kernel_body(C, r, mode, refs):
+    c = _Carry(mode, refs)
     # bit log2(C)+r of the global index, scalar per block
     m = _scalar_m32(((pl.program_id(0) >> r) & 1) == 1)
-    arrs = _negate(arrs, m)
-    for pj in range(_log2(C) - 1, -1, -1):
-        arrs = _stage(arrs, 1 << pj)
-    arrs = _negate(arrs, m)
-    _store(refs, arrs, kv)
+    lc = _log2(C)
+    use_t = c.can_transpose() and _t_stage_count(lc - 1) >= MIN_T_STAGES
+    c.negate(m)  # scalar masks are layout-independent
+    if use_t:
+        c.ensure_layout("T")
+    for pj in range(lc - 1, -1, -1):
+        if use_t and pj == ROW_BITS - 1:
+            c.ensure_layout("N")
+        c.stage_bit(pj)
+    c.ensure_layout("N")
+    c.negate(m)
+    c.store(refs)
 
 
 # --------------------------------------------------------------------------
@@ -312,7 +524,7 @@ def _local_kernel_body(C, r, kv, refs):
 # --------------------------------------------------------------------------
 
 
-def _fused_rounds_body(C, r_lo, r_hi, kv, refs):
+def _fused_rounds_body(C, r_lo, r_hi, mode, refs):
     """Merge rounds r_lo..r_hi in one pass over a 2^r_hi-block group.
 
     A group of 2^g aligned blocks contains every pair interaction of rounds
@@ -320,47 +532,56 @@ def _fused_rounds_body(C, r_lo, r_hi, kv, refs):
     on the VMEM-resident group — one HBM round trip for g rounds instead of
     up to 2g.
     """
-    arrs = _load(refs, kv)  # (G*rc, LANES), one whole group
+    c = _Carry(mode, refs)  # (G*rc, LANES), one whole group
     G = 1 << r_hi
-    rows = arrs[0].shape[0]
+    rows = c.words[0].shape[0]
     rc = rows // G
-    lrc = _log2(rc)
-    shape = arrs[0].shape
+    lc = _log2(C)
+    use_t = c.can_transpose() and _t_stage_count(lc - 1) >= MIN_T_STAGES
 
-    m_prev = jnp.int32(0)
+    def mask_of(spec):
+        if spec is None:
+            return jnp.int32(0)
+        kind, v = spec
+        return v if kind == "scalar" else c.bit_m32(v)
+
+    prev = None
     for r in range(r_lo, r_hi + 1):
         # direction of round r = bit log2(C)+r of the global index. Block
         # B = g*2^r_hi + b: for r < r_hi that is bit r of b (varies within
         # the group, a row mask); for r = r_hi it is the group parity.
         if r == r_hi:
-            m = _scalar_m32((pl.program_id(0) & 1) == 1)
+            cur = ("scalar", _scalar_m32((pl.program_id(0) & 1) == 1))
         else:
-            # bit (lrc + r) of the flat row index, broadcast to 32 bits
-            m = (_iota(shape, 0) << (31 - (lrc + r))) >> 31
-        arrs = _negate(arrs, m ^ m_prev)
+            cur = ("bit", lc + r)  # group-flat bit, layout-aware
+        # masks are (re)built in the N layout: each round starts there
+        # (the previous round's low-bit run ends in N; cross_run forces N)
+        c.ensure_layout("N")
+        c.negate(mask_of(cur) ^ mask_of(prev))
 
         # cross stages of round r: block distances 2^(r-1)..1
-        arrs3 = tuple(a.reshape(G, rc, LANES) for a in arrs)
-        shape3 = arrs3[0].shape
-        for t in range(r - 1, -1, -1):
-            d = 1 << t
-            up = (_iota(shape3, 0) & d) == 0
-            arrs3 = _stage_ce(arrs3, 0, d, up)
-        arrs = tuple(a.reshape(rows, LANES) for a in arrs3)
+        c.cross_run(G, rc, r)
 
         # local stages: distance masks depend only on (index mod C),
         # identical across the C-aligned sub-blocks of the group
-        for pj in range(_log2(C) - 1, -1, -1):
-            arrs = _stage(arrs, 1 << pj)
-        m_prev = m
+        if use_t:
+            c.ensure_layout("T")
+        for pj in range(lc - 1, -1, -1):
+            if use_t and pj == ROW_BITS - 1:
+                c.ensure_layout("N")
+            c.stage_bit(pj)
+        prev = cur
 
-    arrs = _negate(arrs, m_prev)
-    _store(refs, arrs, kv)
+    c.ensure_layout("N")
+    c.negate(mask_of(prev))
+    c.store(refs)
 
 
 # rows-per-array ceiling for a fused group (VMEM holds in+out double
-# buffers plus a few live network temporaries per array)
-MAX_FUSED_ROWS = int(_os.environ.get("VRS_MAX_FUSED_ROWS", 16384))
+# buffers plus a few live network temporaries per array; 12288 leaves
+# headroom for the lo/hi CE formulation's extra live temps — 16384
+# overflowed the 100M scoped-VMEM budget on the 2-array fused kernel)
+MAX_FUSED_ROWS = int(_os.environ.get("VRS_MAX_FUSED_ROWS", 12288))
 
 # Mosaic emits per-vreg instructions, so kernel compile time scales with
 # (stages x block rows); cap that product or multi-round fused kernels take
@@ -398,8 +619,8 @@ def _fused_round_plan(C, nrounds, n_arrays, budget):
     return plan, r
 
 
-def _run_fused_rounds(arrs, C, r_lo, r_hi, kv, interpret, real_rows=None):
-    body = functools.partial(_fused_rounds_body, C, r_lo, r_hi, kv)
+def _run_fused_rounds(arrs, C, r_lo, r_hi, mode, interpret, real_rows=None):
+    body = functools.partial(_fused_rounds_body, C, r_lo, r_hi, mode)
     rc_super = (1 << r_hi) * (C // LANES)
     return _block_call(
         lambda *refs: body(refs), arrs, rc_super, interpret, real_rows
@@ -448,12 +669,12 @@ def _block_call(body, arrs, rc, interpret, real_rows=None):
     )(*arrs)
 
 
-def _run_chunk(arrs, C, kv, interpret, real_rows=None):
+def _run_chunk(arrs, C, mode, interpret, real_rows=None):
     rc = C // LANES
-    budget = _budget(len(arrs))
+    budget = _budget(mode.n_arrays)
     for group in _phase_groups(_log2(C), budget):
         body = functools.partial(
-            _chunk_phases_body, C, group[0], group[-1], kv
+            _chunk_phases_body, C, group[0], group[-1], mode
         )
         arrs = _block_call(
             lambda *refs: body(refs), arrs, rc, interpret, real_rows
@@ -461,7 +682,7 @@ def _run_chunk(arrs, C, kv, interpret, real_rows=None):
     return arrs
 
 
-def _run_cross(arrs, C, r, kv, interpret, real_rows=None):
+def _run_cross(arrs, C, r, mode, interpret, real_rows=None):
     rows_total = arrs[0].shape[0]
     rc = C // LANES
     nblocks = rows_total // rc
@@ -471,18 +692,18 @@ def _run_cross(arrs, C, r, kv, interpret, real_rows=None):
     G = 1 << r
     # power-of-two slice rows >= 8 (Mosaic sublane tiling), sized to a VMEM
     # budget; a full-rc slice is fine when the chunk itself is tiny
+    n = len(arrs)
     if rc <= 8:
         sr = rc
     else:
-        budget_rows = max(8, 4096 // (G * len(arrs)))
+        budget_rows = max(8, 4096 // (G * n))
         sr = max(8, min(rc, 1 << (budget_rows.bit_length() - 1)))
     arrs3 = [a.reshape(nblocks, rc, LANES) for a in arrs]
     spec = pl.BlockSpec(
         (G, sr, LANES), lambda g, s: (g, s, 0), memory_space=pltpu.VMEM
     )
-    n = len(arrs)
     out = pl.pallas_call(
-        lambda *refs: _cross_kernel_body(r, kv, refs),
+        lambda *refs: _cross_kernel_body(r, mode, refs),
         grid=(ngroups, rc // sr),
         in_specs=[spec] * n,
         out_specs=[spec] * n,
@@ -498,8 +719,8 @@ def _run_cross(arrs, C, r, kv, interpret, real_rows=None):
     return [o.reshape(rows_total, LANES) for o in out]
 
 
-def _run_local(arrs, C, r, kv, interpret, real_rows=None):
-    body = functools.partial(_local_kernel_body, C, r, kv)
+def _run_local(arrs, C, r, mode, interpret, real_rows=None):
+    body = functools.partial(_local_kernel_body, C, r, mode)
     return _block_call(
         lambda *refs: body(refs), arrs, C // LANES, interpret, real_rows
     )
@@ -525,17 +746,42 @@ def _plan(n: int, chunk: int):
     return np2, C
 
 
-def _sort_padded(arrs, np2, C, kv, interpret, real_rows=None):
-    arrs = _run_chunk(arrs, C, kv, interpret, real_rows)
+def _sort_padded(arrs, np2, C, mode, interpret, real_rows=None):
+    arrs = _run_chunk(arrs, C, mode, interpret, real_rows)
     nrounds = _log2(np2 // C)
-    budget = _budget(len(arrs))
-    plan, r_next = _fused_round_plan(C, nrounds, len(arrs), budget)
+    budget = _budget(mode.n_arrays)
+    plan, r_next = _fused_round_plan(C, nrounds, mode.n_arrays, budget)
     for r_lo, r_hi in plan:
-        arrs = _run_fused_rounds(arrs, C, r_lo, r_hi, kv, interpret, real_rows)
+        arrs = _run_fused_rounds(arrs, C, r_lo, r_hi, mode, interpret,
+                                 real_rows)
     for r in range(r_next, nrounds + 1):
-        arrs = _run_cross(arrs, C, r, kv, interpret, real_rows)
-        arrs = _run_local(arrs, C, r, kv, interpret, real_rows)
+        arrs = _run_cross(arrs, C, r, mode, interpret, real_rows)
+        arrs = _run_local(arrs, C, r, mode, interpret, real_rows)
     return arrs
+
+
+def _packed_aux(n, np2):
+    """aux = original index << 7 (origin field 0), sentinel 0xffffffff.
+
+    Genuine aux tops out below 0xffffff80 for n < 2^25 and no padding
+    exists at n == 2^25, so sentinels always sort strictly last.
+    """
+    iot = jax.lax.iota(jnp.uint32, np2)
+    aux = jnp.where(
+        iot < n, iot << ROW_BITS, jnp.uint32(0xFFFFFFFF)
+    )
+    return aux.reshape(np2 // LANES, LANES)
+
+
+def _stable_idx(n, np2):
+    """Fallback tiebreak for n > 2^25: the plain original index. Pad
+    entries are a CONSTANT 0x7fffffff: bigger than any real index (so
+    genuine 0xffffffff keys sort ahead of the pad sentinels) and mutually
+    equal, which makes every network stage map pure-sentinel regions to
+    themselves — the skipped-block aliasing relies on that."""
+    iot = jax.lax.iota(jnp.uint32, np2)
+    idx = jnp.where(iot < n, iot, jnp.uint32(0x7FFFFFFF))
+    return idx.reshape(np2 // LANES, LANES)
 
 
 def stage_times(keys, chunk: int = 1 << 16, iters: int = 10,
@@ -560,25 +806,43 @@ def stage_times(keys, chunk: int = 1 << 16, iters: int = 10,
     arrs0 = [_pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF)]
     nrounds = _log2(np2 // C)
     lc = _log2(C)
+    mode = MODE_KEYS
     # mirror the real pipeline: skip pure-sentinel padding blocks
     rr = _cdiv(n, LANES)
 
-    f_chunk = jax.jit(lambda a: _run_chunk([a], C, 1, interpret, rr)[0])
-    t_chunk = time_fn(f_chunk, arrs0[0], iters=iters)
-    a = f_chunk(arrs0[0])
+    # `kernels` records each emitted pallas_call (the dispatch unit — the
+    # honest analog of the reference's per-dispatch timestamps,
+    # h.in:39-50) with its own measured time, no attribution guesswork.
+    kernels = []
+
+    a = arrs0[0]
+    t_chunk = 0.0
+    for group in _phase_groups(lc, _budget(1)):
+        f_g = jax.jit(
+            lambda x, a_=group[0], b_=group[-1]: _block_call(
+                lambda *refs: _chunk_phases_body(C, a_, b_, mode, refs),
+                [x], C // LANES, interpret, rr,
+            )[0]
+        )
+        t = time_fn(f_g, a, iters=iters)
+        kernels.append((f"chunk[p{group[0]}-{group[-1]}]", t))
+        t_chunk += t
+        a = f_g(a)
 
     t_cross = t_local = 0.0
     plan, r_next = _fused_round_plan(C, nrounds, 1, MAX_GROUP_STAGES)
     for r_lo, r_hi in plan:
         f_f = jax.jit(
             lambda x, a_=r_lo, b_=r_hi: _run_fused_rounds(
-                [x], C, a_, b_, 1, interpret, rr
+                [x], C, a_, b_, mode, interpret, rr
             )[0]
         )
         t = time_fn(f_f, a, iters=iters)
+        kernels.append((f"fused[r{r_lo}-{r_hi}]", t))
         # a fused kernel runs both the cross and the local stages of rounds
-        # r_lo..r_hi back to back; attribute its time by stage count so the
-        # reported split matches what the unfused path would book
+        # r_lo..r_hi back to back; the 3-bucket summary attributes its time
+        # by stage count (documented estimate; `kernels` has the exact
+        # per-dispatch measurement)
         cross_stages = sum(range(r_lo, r_hi + 1))
         local_stages = (r_hi - r_lo + 1) * lc
         t_cross += t * cross_stages / (cross_stages + local_stages)
@@ -586,14 +850,18 @@ def stage_times(keys, chunk: int = 1 << 16, iters: int = 10,
         a = f_f(a)
     for r in range(r_next, nrounds + 1):
         f_cross = jax.jit(
-            lambda x, r=r: _run_cross([x], C, r, 1, interpret, rr)[0]
+            lambda x, r=r: _run_cross([x], C, r, mode, interpret, rr)[0]
         )
-        t_cross += time_fn(f_cross, a, iters=iters)
+        t = time_fn(f_cross, a, iters=iters)
+        kernels.append((f"cross[r{r}]", t))
+        t_cross += t
         a = f_cross(a)
         f_local = jax.jit(
-            lambda x, r=r: _run_local([x], C, r, 1, interpret, rr)[0]
+            lambda x, r=r: _run_local([x], C, r, mode, interpret, rr)[0]
         )
-        t_local += time_fn(f_local, a, iters=iters)
+        t = time_fn(f_local, a, iters=iters)
+        kernels.append((f"local[r{r}]", t))
+        t_local += t
         a = f_local(a)
 
     return {
@@ -601,6 +869,7 @@ def stage_times(keys, chunk: int = 1 << 16, iters: int = 10,
         "cross": t_cross,
         "local": t_local,
         "rounds": nrounds,
+        "kernels": kernels,
     }
 
 
@@ -610,7 +879,7 @@ def sort_u32(keys, *, chunk: int = 1 << 16, interpret: bool = False):
     n = keys.shape[0]
     np2, C = _plan(n, chunk)
     arrs = [_pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF)]
-    arrs = _sort_padded(arrs, np2, C, 1, interpret, _cdiv(n, LANES))
+    arrs = _sort_padded(arrs, np2, C, MODE_KEYS, interpret, _cdiv(n, LANES))
     return arrs[0].reshape(-1)[:n]
 
 
@@ -623,11 +892,16 @@ def sort_pairs_u32(keys, values, *, chunk: int = 1 << 16,
 
     stable=True (default) matches the reference contract: output equals the
     CPU std::stable_sort-by-key oracle (reference bench/cpu_benchmark.cc:33-49)
-    by carrying (key, value, original index) and tie-breaking on index.
+    by tie-breaking on the original index. For n <= 2^25 this uses the
+    packed-lazy carry (see module docstring): (key, idx<<7|origin) drive
+    the comparisons while the value array idles through lane-stage runs and
+    is realigned by one lane gather per run — measurably cheaper than
+    carrying a third array through every stage. Larger n falls back to the
+    plain (key, idx, value) carry.
 
     stable=False carries only (key, value) and compares them
-    lexicographically — ~1.4x faster (two arrays through every CE stage
-    instead of three). The order among equal keys is by ascending value
+    lexicographically — faster (two arrays through every CE stage instead
+    of three). The order among equal keys is by ascending value
     (deterministic), not input order. Padding sentinels are the pair
     (0xffffffff, 0xffffffff), the lexicographic maximum, so they sort
     behind every genuine pair and are sliced off.
@@ -639,22 +913,57 @@ def sort_pairs_u32(keys, values, *, chunk: int = 1 << 16,
             _pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF),
             _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0xFFFFFFFF),
         ]
-        arrs = _sort_padded(arrs, np2, C, 2, interpret, _cdiv(n, LANES))
+        arrs = _sort_padded(arrs, np2, C, MODE_PAIRS, interpret,
+                            _cdiv(n, LANES))
         return arrs[0].reshape(-1)[:n], arrs[1].reshape(-1)[:n]
-    # pad index entries are a CONSTANT 0x7fffffff: bigger than any real
-    # index (so genuine 0xffffffff keys sort ahead of the pad sentinels)
-    # and mutually equal, which makes every network stage map pure-sentinel
-    # regions to themselves — the skipped-block aliasing relies on that.
-    iot = jax.lax.iota(jnp.uint32, np2)
-    idx = jnp.where(iot < n, iot, jnp.uint32(0x7FFFFFFF)).reshape(
-        np2 // LANES, LANES
+
+    k = _pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF)
+    v = _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0)
+    if n <= MAX_PACKED_N:
+        arrs = [k, _packed_aux(n, np2), v]
+        mode = MODE_PACKED
+    else:
+        arrs = [k, _stable_idx(n, np2), v]
+        mode = MODE_STABLE
+    arrs = _sort_padded(arrs, np2, C, mode, interpret, _cdiv(n, LANES))
+    return arrs[0].reshape(-1)[:n], arrs[2].reshape(-1)[:n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "interpret", "stable")
+)
+def sort_pairs_w64(hi, lo, values, *, chunk: int = 1 << 16,
+                   interpret: bool = False, stable: bool = True):
+    """64-bit-key key-value sort on (hi, lo) uint32 word planes.
+
+    The key order is lexicographic over (hi, lo) == unsigned 64-bit order;
+    the caller applies any order-preserving dtype encoding before the
+    split. stable=True tie-breaks on the original index (packed-lazy for
+    n <= 2^25, plain index carry above); stable=False compares
+    (hi, lo, value) — equal keys emerge value-ascending.
+
+    Extension beyond the reference (its API is uint32-only,
+    include/vk_radix_sort.h:52-81), closing the 64-bit key-value gap.
+    """
+    n = hi.shape[0]
+    np2, C = _plan(n, chunk)
+    h = _pad_pow2(jnp.asarray(hi, jnp.uint32), np2, 0xFFFFFFFF)
+    l = _pad_pow2(jnp.asarray(lo, jnp.uint32), np2, 0xFFFFFFFF)
+    if not stable:
+        v = _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0xFFFFFFFF)
+        arrs = _sort_padded([h, l, v], np2, C, MODE_W3, interpret,
+                            _cdiv(n, LANES))
+        return tuple(a.reshape(-1)[:n] for a in arrs)
+    v = _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0)
+    if n <= MAX_PACKED_N:
+        arrs = [h, l, _packed_aux(n, np2), v]
+        mode = MODE_W4
+    else:
+        arrs = [h, l, _stable_idx(n, np2), v]
+        mode = MODE_W4_BIG
+    arrs = _sort_padded(arrs, np2, C, mode, interpret, _cdiv(n, LANES))
+    return (
+        arrs[0].reshape(-1)[:n],
+        arrs[1].reshape(-1)[:n],
+        arrs[3].reshape(-1)[:n],
     )
-    arrs = [
-        _pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF),
-        _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0),
-        idx,
-    ]
-    arrs = _sort_padded(arrs, np2, C, 3, interpret, _cdiv(n, LANES))
-    k = arrs[0].reshape(-1)[:n]
-    v = arrs[1].reshape(-1)[:n]
-    return k, v

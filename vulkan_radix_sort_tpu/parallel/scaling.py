@@ -1,0 +1,124 @@
+"""Scaling and overlap measurement for the distributed sort.
+
+The reference has no distributed layer to compare against (SURVEY.md §2.6);
+this harness exists so the framework's own north-star targets (scaling
+efficiency across a pod, exchange/compute overlap) are *measured*, not
+assumed — on the CPU mesh as a correctness-shaped proxy, and on real TPU
+meshes for true numbers.
+
+Reported phases (the distributed analog of the reference's per-stage
+timestamps, h.in:39-50):
+  local_sort — per-shard sort of the input shard
+  exchange   — splitter search + ragged bucket all_to_all (the collective)
+  resort     — per-shard sort of the received buckets
+  full       — the fused production pipeline (one jit)
+`overlap_hidden_s` = (sum of isolated phases) - full: the wall-clock the
+fused program hides by overlapping collective and compute (>=0 up to
+min(exchange, compute) in the ideal schedule; negative values mean fusion
+overhead dominated, e.g. on the CPU-mesh proxy).
+
+All times use the chained-iteration marginal method (utils.timing) so the
+environment's fixed dispatch latency divides out.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SortConfig
+from ..utils.timing import marginal_time
+from . import distributed as D
+
+
+def _stage_fns(mesh, config, use_pallas, overlap, m):
+    """Three chainable (same shape in/out) jitted stage programs plus the
+    fused pipeline, all over `mesh`."""
+    n_dev = mesh.shape[D.AXIS]
+    spec = jax.sharding.PartitionSpec(D.AXIS)
+    targets = (jnp.arange(1, n_dev) * m).astype(jnp.int32)
+
+    def local_sort_shard(ks):
+        return D._local_sort(ks, None, config, use_pallas)
+
+    def exchange_shard(ks):
+        in_off, send, out_off, recv = D._exchange_plan(ks, targets, m, n_dev)
+        out = jnp.full((m,), 0xFFFFFFFF, jnp.uint32)
+        return D._ragged_a2a(ks, out, in_off, send, out_off, recv, n_dev)
+
+    def smap(f):
+        return jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False,
+        ))
+
+    full = jax.jit(
+        lambda k: D.sort_sharded(
+            k, mesh, config, use_pallas=use_pallas, overlap=overlap
+        )
+    )
+    return smap(local_sort_shard), smap(exchange_shard), smap(local_sort_shard), full
+
+
+def phase_report(mesh, n: int, config: SortConfig | None = None,
+                 use_pallas: bool | None = None, overlap: bool = False,
+                 seed: int = 0, iters: int = 3) -> dict:
+    """Measure per-phase device time of the distributed sort on `mesh`."""
+    from ..utils import datagen
+
+    if use_pallas is None:
+        use_pallas = D._default_use_pallas(config)
+    n_dev = mesh.shape[D.AXIS]
+    assert n % n_dev == 0, "use a mesh-multiple n for the phase report"
+    m = n // n_dev
+    keys = jnp.asarray(datagen.generate_keys(n, seed=seed))
+    keys = jax.device_put(
+        keys, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(D.AXIS))
+    )
+    f_local, f_exch, f_resort, f_full = _stage_fns(
+        mesh, config, use_pallas, overlap, m
+    )
+
+    t_local = marginal_time(f_local, keys, iters=iters)
+    sorted_keys = f_local(keys)
+    t_exch = marginal_time(f_exch, sorted_keys, iters=iters)
+    exchanged = f_exch(sorted_keys)
+    t_resort = marginal_time(f_resort, exchanged, iters=iters)
+    t_full = marginal_time(f_full, keys, iters=iters)
+
+    parts = t_local + t_exch + t_resort
+    return {
+        "n": n,
+        "devices": n_dev,
+        "local_sort_s": t_local,
+        "exchange_s": t_exch,
+        "resort_s": t_resort,
+        "full_s": t_full,
+        "overlap_hidden_s": parts - t_full,
+        "exchange_fraction": t_exch / parts if parts > 0 else 0.0,
+        "overlap_mode": overlap,
+        "use_pallas": use_pallas,
+    }
+
+
+def scaling_report(m_per_device: int, device_counts=None,
+                   config: SortConfig | None = None,
+                   use_pallas: bool | None = None, iters: int = 3) -> list:
+    """Weak-scaling sweep: fixed per-device m, growing mesh; efficiency is
+    t(1)/t(D) (1.0 = perfect weak scaling). The BASELINE target is >=80%
+    on a v5e-16; on the CPU mesh this is a trend proxy only."""
+    avail = len(jax.devices())
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8, 16) if d <= avail]
+    rows = []
+    t1 = None
+    for d in device_counts:
+        mesh = D.make_mesh(d)
+        rep = phase_report(mesh, m_per_device * d, config=config,
+                           use_pallas=use_pallas, iters=iters)
+        if t1 is None:
+            t1 = rep["full_s"]
+        rep["weak_efficiency"] = t1 / rep["full_s"] if rep["full_s"] > 0 else 0.0
+        rows.append(rep)
+    return rows

@@ -37,9 +37,14 @@ def _sync(x):
     for leaf in leaves:
         jax.block_until_ready(leaf)
     # pull one element to the host to defeat async tunnels that ack early
-    # (device-side slice first: transferring the full array would dominate)
+    # (device-side slice first: transferring the full array would dominate).
+    # For sharded arrays, slice one addressable shard — an eager slice of
+    # the global array is a sharding-ambiguous gather.
     if leaves:
-        np.asarray(leaves[0][:1])
+        leaf = leaves[0]
+        shards = getattr(leaf, "addressable_shards", None)
+        buf = shards[0].data if shards else leaf
+        np.asarray(buf[:1] if buf.ndim else buf)
 
 
 def time_fn(fn, *args, iters: int = 10, warmup: int = 1, loop_inside: int = 1):
@@ -87,21 +92,29 @@ def marginal_time(fn, *args, k1: int = 1, k2: int = 4, iters: int = 5,
     few-ms dispatch jitter.
     """
 
-    def looped(k):
-        @jax.jit
-        def f(*a):
-            if len(a) == 1:
-                return jax.lax.fori_loop(0, k, lambda _, c: fn(c), a[0])
-            return jax.lax.fori_loop(0, k, lambda _, c: tuple(fn(*c)), a)
+    _looped_cache: dict = {}
 
-        return f
+    def looped(k):
+        # one jit wrapper per k, reused across timing samples — re-wrapping
+        # per sample would force a fresh trace (and cache lookup) each time
+        if k not in _looped_cache:
+
+            @jax.jit
+            def f(*a):
+                if len(a) == 1:
+                    return jax.lax.fori_loop(0, k, lambda _, c: fn(c), a[0])
+                return jax.lax.fori_loop(0, k, lambda _, c: tuple(fn(*c)), a)
+
+            _looped_cache[k] = f
+        return _looped_cache[k]
 
     # use the MINIMUM over iters, not the median: the tunnel's dispatch
     # latency has multi-hundred-ms spikes and the minimum is the robust
     # estimator of the fixed-cost floor that the subtraction relies on
     def t_of(k, it):
+        f = looped(k)
         return min(
-            time_fn(looped(k), *args, iters=1, warmup=0) for _ in range(it)
+            time_fn(f, *args, iters=1, warmup=0) for _ in range(it)
         )
 
     f1 = looped(k1)
