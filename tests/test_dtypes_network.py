@@ -15,6 +15,27 @@ from vulkan_radix_sort_tpu.config import SortConfig
 CFG = SortConfig(backend="network", chunk=1 << 12, interpret=True)
 
 
+def test_float32_key_value_network():
+    """KV with float32 keys rides the order-preserving encoding through
+    the packed-lazy stable carry (negative/positive/inf boundaries)."""
+    import vulkan_radix_sort_tpu as vrs
+
+    n = 3000
+    rng = np.random.default_rng(31)
+    keys = rng.standard_normal(n).astype(np.float32)
+    # no -0.0 here: the total-order encoding ranks -0.0 < 0.0 strictly,
+    # while NumPy's stable argsort treats them as equal — a documented
+    # semantic difference, not a bug to assert against
+    keys[:5] = [0.0, np.inf, -np.inf, 1.5, -1.5]
+    keys[rng.random(n) < 0.2] = 2.25  # duplicates exercise stability
+    vals = np.arange(n, dtype=np.uint32)
+    s = vrs.create_sorter(n, key_dtype=np.float32, config=CFG)
+    gk, gv = s.sort_key_value(jnp.asarray(keys), jnp.asarray(vals))
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(gk), keys[order])
+    np.testing.assert_array_equal(np.asarray(gv), vals[order])
+
+
 def test_int32_keys(rng):
     n = 5000
     keys = rng.integers(-(2**31), 2**31, size=n).astype(np.int32)
