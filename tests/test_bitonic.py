@@ -110,9 +110,10 @@ def test_pairs_nonstable(dist, n):
 
 
 def test_transposed_layout_chunk(rng, monkeypatch):
-    """chunk >= 2^14 engages the 128x128 tile-transpose layout for bits
-    7..13; single-chunk keys sort covering the T<->N switches per phase.
-    (Opt-in engine path, so it is forced on and traced fresh here.)"""
+    """chunk >= 2^14 engages the 128x128 tile-transpose layout that
+    sublane-executes each run's bits 6..0 tail; single-chunk keys sort
+    covering the T<->N switches per phase (incl. short-head phases that
+    stay in T). (Opt-in engine path, forced on and traced fresh here.)"""
     monkeypatch.setattr(bitonic, "TRANSPOSE_OPT", True)
     n = 1 << 14
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)

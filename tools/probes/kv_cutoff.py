@@ -36,10 +36,13 @@ def main(which="all"):
     def xla_kv(a, b):
         return jax.lax.sort((a, b), num_keys=1, is_stable=True)
 
+    # keys fns are unary: marginal_time's chained carry must match the
+    # function's signature (a binary fn returning one array explodes the
+    # fori_loop carry)
     paths = {
         "keys": (
-            lambda a, b: bitonic.sort_u32(a),
-            lambda a, b: reference.sort_keys(a),
+            lambda a: bitonic.sort_u32(a),
+            lambda a: reference.sort_keys(a),
         ),
         "kv": (
             lambda a, b: bitonic.sort_pairs_u32(a, b, stable=True),
@@ -61,10 +64,11 @@ def main(which="all"):
             rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
         )
         for name, (net_fn, xla_fn) in sel.items():
+            args = (keys,) if name == "keys" else (keys, vals)
             for backend, fn in (("network", net_fn), ("xla", xla_fn)):
                 f = jax.jit(fn)
                 t = float(np.median([
-                    marginal_time(f, keys, vals, k1=2, k2=16, iters=4,
+                    marginal_time(f, *args, k1=2, k2=16, iters=4,
                                   min_delta=0.02)
                     for _ in range(3)
                 ]))

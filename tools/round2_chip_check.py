@@ -90,7 +90,7 @@ def main(which="all"):
         got = np.asarray(f(kj))
         assert np.array_equal(got[:c], np.sort(keys[:c])), "indirect prefix"
         assert np.array_equal(got[c:], keys[c:]), "indirect tail"
-        print("indirect keys verified (2-array carry)")
+        print("indirect keys verified (keys-only masked sort)")
         report("keys_indirect", t3(f, kj))
 
 

@@ -248,9 +248,11 @@ class Sorter:
 
     @functools.cached_property
     def _sort_count_fn(self):
-        # the masked count path is internally a pairs sort, so the backend
-        # choice follows the pairs crossover, not the keys one
-        cfg, backend = self.config, self.backend_kv
+        # keys-only output makes genuine max-valued keys bitwise
+        # interchangeable with the out-of-range sentinels, so the masked
+        # count path is a plain keys sort (no index tiebreak) and the
+        # backend choice follows the keys crossover
+        cfg, backend = self.config, self.backend
         enc, dec = self._encode, self._decode
 
         if self.wide:
@@ -292,14 +294,14 @@ class Sorter:
             if backend == "xla":
                 k = reference.sort_keys_count(u, count)
             else:
-                # (masked key, index) pairs are unique, so the 2-array
-                # lexicographic stable=False path returns the identical
-                # permutation as the 3-array stable dispatch at the
-                # measured ~1.4x lower cost. Genuine 0xffffffff keys stay
-                # ahead of the sentinels because their index is < count.
-                k, _ = _sort_pairs_dispatch(
-                    backend, cfg, masked, idx, stable=False
-                )
+                # The first `count` slots of the masked keys-only sort are
+                # exactly the sorted prefix: the sentinels and any genuine
+                # 0xffffffff keys are indistinguishable in the output, and
+                # there are exactly n-count sentinels past position
+                # count-1. Same argument as the wide path above — no index
+                # carry needed (formerly a 2-array (masked, idx) sort at
+                # 52.6 ms vs ~23 ms at 2^25).
+                k = _sort_dispatch(backend, cfg, masked)
             return dec(jnp.where(in_range, k, u))
 
         return f

@@ -97,22 +97,22 @@ MAX_GROUP_STAGES_KV = int(_os.environ.get("VRS_MAX_GROUP_STAGES_KV", 40))
 MAX_GROUP_STAGES_PAIRS = int(_os.environ.get("VRS_MAX_GROUP_STAGES_PAIRS", 64))
 MAX_GROUP_STAGES_W4 = int(_os.environ.get("VRS_MAX_GROUP_STAGES_W4", 30))
 
-# Transposed-layout optimization: stages on flat-index bits 7..13 are
-# row-distance (sublane) exchanges in the natural (rows, 128) layout —
-# measured 2.35 ps/elem vs 1.34 for lane-axis stages. A 128x128 tile
-# transpose swaps lane bits 0-6 with row bits 7-13, turning those stages
-# into lane-axis ones; a descending stage run pays two transposes and
-# converts up to 7 stages. Requires a block of >= 128 rows (C >= 2^14)
-# and a run converting >= MIN_T_STAGES stages.
-#
-# DEFAULT OFF: the single-tile transpose probe measured 0.72 ps/elem, but
-# the batched (R/128, 128, 128) transpose this path emits lowers to ~12
-# ps/elem on the current Mosaic — the 34 transpose events per 2^25 sort
-# cost ~14 ms against ~9 ms of stage savings (keys 24.7 -> 38.4 ms
-# measured). The machinery stays (correct, interpret-tested) pending a
-# cheaper tile-transpose lowering; enable with VRS_TRANSPOSE=1.
+# Transposed-layout optimization: stages on flat-index bits 0..6 are
+# lane-axis exchanges in the natural (rows, 128) layout, and the CE-chain
+# floor probe (tools/probes/ce_floor.py) measured lane stages at 3.76
+# ps/elem vs 1.76 for sublane (row-distance) stages. A 128x128 tile
+# transpose swaps lane bits 0-6 with row bits 7-13, so executing each
+# run's bits 6..0 tail in the T layout turns those 154-of-325 stages into
+# cheap sublane exchanges, at the price of two in-kernel tile transposes
+# per run. (An earlier experiment converted in the OPPOSITE direction —
+# bits 7..13 to lane — on inverted stage-cost measurements and regressed
+# keys 24.7 -> 38.4 ms; tools/probes/probe_transpose_slope.py prices the
+# in-kernel transpose itself.) Requires blocks of >= 128 rows (C >= 2^14).
 TRANSPOSE_OPT = _os.environ.get("VRS_TRANSPOSE", "0") == "1"
-MIN_T_STAGES = int(_os.environ.get("VRS_MIN_T_STAGES", 3))
+# phases whose head (bits >= 7) is at most this many stages skip the
+# round-trip to N and lane-execute the head in T: two tile transposes
+# cost more than that few +2 ps/stage lane penalties
+T_STAY = int(_os.environ.get("VRS_T_STAY", 1))
 
 
 def _budget(na: int) -> int:
@@ -416,12 +416,6 @@ class _Carry:
 # --------------------------------------------------------------------------
 
 
-def _t_stage_count(hi_bit: int) -> int:
-    """How many stages of a descending run hi_bit..0 the T layout converts
-    from sublane to lane (bits 7..13)."""
-    return max(0, min(hi_bit, 13) - 7 + 1)
-
-
 def _chunk_phases_body(C, pk_lo, pk_hi, mode, refs):
     c = _Carry(mode, refs)
     lc = _log2(C)
@@ -443,13 +437,18 @@ def _chunk_phases_body(C, pk_lo, pk_hi, mode, refs):
             cur = ("scalar", _scalar_m32((pl.program_id(0) & 1) == 1))
         else:
             cur = ("bit", pk)
-        use_t = c.can_transpose() and _t_stage_count(pk - 1) >= MIN_T_STAGES
-        c.ensure_layout("T" if use_t else "N")
+        use_t = c.can_transpose()
+        if use_t:
+            # bits >= ROW_BITS are sublane in N, bits < ROW_BITS are
+            # sublane in T; a short head lane-executes in T instead of
+            # paying a transpose round trip to N
+            head = max(0, pk - ROW_BITS)
+            c.ensure_layout("N" if head > T_STAY else "T")
         # enter this phase's negation (XOR transitions compose)
         c.negate(mask_of(cur) ^ mask_of(prev))
         for pj in range(pk - 1, -1, -1):
-            if use_t and pj == ROW_BITS - 1:
-                c.ensure_layout("N")
+            if use_t and pj == ROW_BITS - 1 and c.layout == "N":
+                c.ensure_layout("T")
             c.stage_bit(pj)
         prev = cur
     c.ensure_layout("N")
@@ -505,13 +504,11 @@ def _local_kernel_body(C, r, mode, refs):
     # bit log2(C)+r of the global index, scalar per block
     m = _scalar_m32(((pl.program_id(0) >> r) & 1) == 1)
     lc = _log2(C)
-    use_t = c.can_transpose() and _t_stage_count(lc - 1) >= MIN_T_STAGES
+    use_t = c.can_transpose()
     c.negate(m)  # scalar masks are layout-independent
-    if use_t:
-        c.ensure_layout("T")
     for pj in range(lc - 1, -1, -1):
-        if use_t and pj == ROW_BITS - 1:
-            c.ensure_layout("N")
+        if use_t and pj == ROW_BITS - 1 and c.layout == "N":
+            c.ensure_layout("T")
         c.stage_bit(pj)
     c.ensure_layout("N")
     c.negate(m)
@@ -537,7 +534,7 @@ def _fused_rounds_body(C, r_lo, r_hi, mode, refs):
     rows = c.words[0].shape[0]
     rc = rows // G
     lc = _log2(C)
-    use_t = c.can_transpose() and _t_stage_count(lc - 1) >= MIN_T_STAGES
+    use_t = c.can_transpose()
 
     def mask_of(spec):
         if spec is None:
@@ -554,8 +551,8 @@ def _fused_rounds_body(C, r_lo, r_hi, mode, refs):
             cur = ("scalar", _scalar_m32((pl.program_id(0) & 1) == 1))
         else:
             cur = ("bit", lc + r)  # group-flat bit, layout-aware
-        # masks are (re)built in the N layout: each round starts there
-        # (the previous round's low-bit run ends in N; cross_run forces N)
+        # masks are (re)built in the N layout: each round is forced there
+        # (the previous round's low-bit run ends in T; cross_run needs N)
         c.ensure_layout("N")
         c.negate(mask_of(cur) ^ mask_of(prev))
 
@@ -564,11 +561,9 @@ def _fused_rounds_body(C, r_lo, r_hi, mode, refs):
 
         # local stages: distance masks depend only on (index mod C),
         # identical across the C-aligned sub-blocks of the group
-        if use_t:
-            c.ensure_layout("T")
         for pj in range(lc - 1, -1, -1):
-            if use_t and pj == ROW_BITS - 1:
-                c.ensure_layout("N")
+            if use_t and pj == ROW_BITS - 1 and c.layout == "N":
+                c.ensure_layout("T")
             c.stage_bit(pj)
         prev = cur
 
