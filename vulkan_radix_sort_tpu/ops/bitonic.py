@@ -113,6 +113,12 @@ TRANSPOSE_OPT = _os.environ.get("VRS_TRANSPOSE", "0") == "1"
 # round-trip to N and lane-execute the head in T: two tile transposes
 # cost more than that few +2 ps/stage lane penalties
 T_STAY = int(_os.environ.get("VRS_T_STAY", 1))
+# tile-transpose lowering: "batched" = one (G,128,128) jnp.transpose,
+# "unrolled" = G static per-tile 2D transposes + concatenate. Mosaic
+# lowers these very differently (the batched form measured ~17x worse
+# than a single-tile transpose in the HBM-pass probe); pick per
+# tools/probes/probe_transpose_slope.py on the target chip generation.
+T_IMPL = _os.environ.get("VRS_T_IMPL", "batched")
 
 
 def _budget(na: int) -> int:
@@ -222,8 +228,12 @@ def _ce(arrs, ncmp, axis, sh, up):
 
 def _tile_T(x):
     """128x128 tile transpose of a (R, 128) array (R a multiple of 128):
-    swaps flat-index bits 0-6 (lanes) with bits 7-13 (low row bits)."""
+    swaps flat-index bits 0-6 (lanes) with bits 7-13 (low row bits).
+    Lowering selected by VRS_T_IMPL (see probe_transpose_slope.py)."""
     R = x.shape[0]
+    if T_IMPL == "unrolled":
+        parts = [x[t * LANES:(t + 1) * LANES, :].T for t in range(R // LANES)]
+        return jnp.concatenate(parts, axis=0)
     return jnp.transpose(
         x.reshape(R // LANES, LANES, LANES), (0, 2, 1)
     ).reshape(R, LANES)
