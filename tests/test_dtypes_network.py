@@ -73,6 +73,20 @@ def test_indirect_count_network(rng):
     np.testing.assert_array_equal(got[m:], keys[m:])
 
 
+def test_indirect_count_network_sentinel_keys(rng):
+    """count= on the network path with genuine 0xffffffff keys in both the
+    prefix and the tail: the masked keys-only design makes real max keys
+    bitwise interchangeable with the padding sentinels, which is only
+    sound if exactly n-count sentinels land past position count-1."""
+    n, m = 4096, 1234
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    keys[rng.random(n) < 0.15] = 0xFFFFFFFF
+    s = vrs.Sorter(n, config=CFG)
+    got = np.asarray(s.sort(jnp.asarray(keys), count=m))
+    np.testing.assert_array_equal(got[:m], np.sort(keys[:m]))
+    np.testing.assert_array_equal(got[m:], keys[m:])
+
+
 @pytest.mark.parametrize("backend", ["network", "xla"])
 def test_one_shot_api(rng, backend):
     n = 2048
