@@ -128,8 +128,10 @@ def test_transposed_layout_chunk(rng, monkeypatch):
 @pytest.mark.slow
 def test_transposed_layout_rounds_and_pairs(rng, monkeypatch):
     """T layout across merge rounds (fused/local bodies) and the
-    packed-lazy stable carry with per-layout value gathers."""
+    packed-lazy stable carry with per-layout value gathers (T_MODES=all:
+    the default noride policy would exclude the riding-value carry)."""
     monkeypatch.setattr(bitonic, "TRANSPOSE_OPT", True)
+    monkeypatch.setattr(bitonic, "T_MODES", "all")
     n = (1 << 15) + 311
     keys = rng.integers(0, 64, size=n, dtype=np.uint64).astype(np.uint32)
     vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)

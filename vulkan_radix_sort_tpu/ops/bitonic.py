@@ -113,6 +113,12 @@ TRANSPOSE_OPT = _os.environ.get("VRS_TRANSPOSE", "0") == "1"
 # round-trip to N and lane-execute the head in T: two tile transposes
 # cost more than that few +2 ps/stage lane penalties
 T_STAY = int(_os.environ.get("VRS_T_STAY", 1))
+# which carry families the T layout applies to: "noride" (default)
+# excludes the riding-value modes — the packed-lazy carry profits from
+# LANE stages (the value idles through them and pays one gather per run),
+# so all-sublane execution is a keys-shaped trade — "all" includes them
+# (the value then moves on every sublane stage but each move is cheap)
+T_MODES = _os.environ.get("VRS_T_MODES", "noride")
 # tile-transpose lowering: "batched" = one (G,128,128) jnp.transpose,
 # "unrolled" = G static per-tile 2D transposes + concatenate. Mosaic
 # lowers these very differently (the batched form measured ~17x worse
@@ -271,6 +277,7 @@ class _Carry:
         shape = self.words[0].shape
         return (
             TRANSPOSE_OPT
+            and (T_MODES == "all" or not self.mode.ride)
             and len(shape) == 2
             and shape[0] % LANES == 0
             and shape[1] == LANES
