@@ -162,3 +162,79 @@ def test_pallas_overlap_under_shard_map(mesh):
         )
     )
     np.testing.assert_array_equal(got, np.sort(keys))
+
+
+# ---- hierarchical ("dcn", "ici") tier ----------------------------------
+
+
+@pytest.fixture(scope="module", params=[(2, 4), (4, 2)])
+def mesh2d(request):
+    assert len(jax.devices()) >= 8
+    return distributed.make_mesh_2d(*request.param)
+
+
+@pytest.mark.parametrize("dist", ["uniform", "zipf", "constant"])
+def test_2d_sort_sharded(mesh2d, dist):
+    n = 8 * 2048
+    keys = datagen.generate_keys(n, seed=41, distribution=dist)
+    got = np.asarray(distributed.sort_sharded(jnp.asarray(keys), mesh2d))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_2d_pairs_stable(mesh2d):
+    """Stability across the two-hop exchange: the H hop-B rounds must land
+    received blocks in flat source-rank order."""
+    n = 8 * 2048
+    keys = (datagen.generate_keys(n, seed=42) % 7).astype(np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = distributed.sort_pairs_sharded(
+        jnp.asarray(keys), jnp.asarray(vals), mesh2d
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_2d_ragged_and_count(mesh2d):
+    n = 8 * 1024 - 133
+    keys = datagen.generate_keys(n, seed=43)
+    got = np.asarray(
+        distributed.sort_sharded(jnp.asarray(keys), mesh2d, count=997)
+    )
+    np.testing.assert_array_equal(got[:997], np.sort(keys[:997]))
+    np.testing.assert_array_equal(got[997:], keys[997:])
+
+
+def test_2d_staging_overflow_raises_and_adapts():
+    """All data destined for one host concentrated on ici-index-0 source
+    chips: hop-A staging at a (0, 0)-peer needs 2x the shard size. A fixed
+    dcn_slack=1 must refuse (never silently corrupt); adaptive slack must
+    retry and return the exact sort."""
+    mesh = distributed.make_mesh_2d(2, 4)
+    n = 8 * 1024
+    m = n // 8
+    rng = np.random.default_rng(44)
+    keys = np.full(n, 0xF0000000, np.uint32)
+    keys[0 * m:1 * m] = rng.integers(0, 1000, m).astype(np.uint32)
+    keys[4 * m:5 * m] = rng.integers(0, 1000, m).astype(np.uint32)
+    with pytest.raises(ValueError, match="dcn_slack"):
+        distributed.sort_sharded(jnp.asarray(keys), mesh, dcn_slack=1)
+    got = np.asarray(distributed.sort_sharded(jnp.asarray(keys), mesh))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+@pytest.mark.slow
+def test_2d_pallas_engine_under_shard_map():
+    """Production Pallas kernels inside the hierarchical path."""
+    from vulkan_radix_sort_tpu.config import SortConfig
+
+    mesh = distributed.make_mesh_2d(2, 4)
+    n = 8 * 1024 + 29
+    cfg = SortConfig(chunk=1 << 10, interpret=True)
+    keys = datagen.generate_keys(n, seed=45, distribution="zipf")
+    got = np.asarray(
+        distributed.sort_sharded(
+            jnp.asarray(keys), mesh, config=cfg, use_pallas=True
+        )
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))

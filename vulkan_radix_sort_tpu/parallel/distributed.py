@@ -39,6 +39,21 @@ fractions.
 
 Collectives ride ICI via XLA (psum / all_gather / ragged_all_to_all inside
 shard_map); no NCCL-style code is translated from anywhere.
+
+Multi-host (DCN) tier: a 2-D mesh ("dcn", "ici") routes the bucket
+exchange hierarchically. The exact flat plan is unchanged (splitters over
+the whole mesh, one global range per device in dcn-major rank order), but
+the exchange runs in two hops: hop A consolidates, per source chip, the C
+per-chip ranges of each destination host into ONE contiguous DCN message
+to its ici-peer on that host (H-1 messages per chip instead of D-1 — the
+slow-tier message count drops by the host width), and hop B fans the
+staged data out to its final chips over ICI (H cheap intra-host
+collectives, one per source host so the receive buffers stay in flat
+source-rank order and stability is positional). The hop-A staging buffer
+is `dcn_slack` x the shard size; the shipped program also reports whether
+the plan overflowed the staging buffer, and the host wrapper retries with
+a doubled slack (bounded by min(H, C), which always suffices) — exactness
+is never traded for the fast path.
 """
 
 from __future__ import annotations
@@ -54,6 +69,7 @@ from ..config import SortConfig
 from ..ops import bitonic, reference
 
 AXIS = "x"
+DCN_AXIS, ICI_AXIS = "dcn", "ici"
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -63,6 +79,29 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return jax.make_mesh((len(devices),), (AXIS,), devices=np.asarray(devices))
+
+
+def make_mesh_2d(n_hosts: int, chips_per_host: int | None = None,
+                 devices=None) -> Mesh:
+    """2-D ("dcn", "ici") sort mesh: the leading axis crosses hosts (DCN),
+    the trailing axis stays within a host (ICI). jax.devices() enumerates
+    process-major, so a row-major reshape puts each host's chips on one
+    "ici" row."""
+    if devices is None:
+        devices = jax.devices()
+    if chips_per_host is None:
+        chips_per_host = len(devices) // n_hosts
+    devices = np.asarray(devices[: n_hosts * chips_per_host]).reshape(
+        n_hosts, chips_per_host
+    )
+    return Mesh(devices, (DCN_AXIS, ICI_AXIS))
+
+
+def _mesh_axis(mesh: Mesh):
+    """(collective axis name(s), flat device count) for a sort mesh."""
+    if mesh.axis_names == (DCN_AXIS, ICI_AXIS):
+        return (DCN_AXIS, ICI_AXIS), mesh.shape[DCN_AXIS] * mesh.shape[ICI_AXIS]
+    return AXIS, mesh.shape[AXIS]
 
 
 def _default_use_pallas(config: SortConfig | None) -> bool:
@@ -87,7 +126,7 @@ def _local_sort(keys, values=None, config: SortConfig | None = None,
     return reference.sort_pairs(keys, values)
 
 
-def _find_splitters(ks, targets, n_dev):
+def _find_splitters(ks, targets, n_dev, axis=AXIS):
     """Exact global splitter keys: value of the sorted-order element at each
     global position in `targets`. 4 rounds of 8-bit refinement; each round
     psums 256 candidate counts per boundary (cheap: (D-1, 256) ints)."""
@@ -99,7 +138,7 @@ def _find_splitters(ks, targets, n_dev):
         # upper bound of candidate range: prefix | b<<r | low-ones
         cand_hi = prefix | (bytes_ << r) | low_ones  # (nb, 256)
         local_le = jnp.searchsorted(ks, cand_hi.reshape(-1), side="right")
-        global_le = jax.lax.psum(local_le, AXIS).reshape(nb, 256)
+        global_le = jax.lax.psum(local_le, axis).reshape(nb, 256)
         # smallest byte whose cumulative count exceeds the target position
         take = global_le > targets[:, None]  # (nb, 256) monotone in byte
         byte = jnp.argmax(take, axis=1).astype(jnp.uint32)  # first True
@@ -107,17 +146,17 @@ def _find_splitters(ks, targets, n_dev):
     return prefix[:, 0]  # (nb,) exact splitter keys
 
 
-def _cut_positions(ks, splitters, targets, n_dev):
+def _cut_positions(ks, splitters, targets, n_dev, axis=AXIS):
     """Local cut positions so that global range d = [targets[d-1], targets[d]).
 
     Keys equal to a splitter are split by count in (device, local) order —
     the stability + even-shard guarantee for degenerate distributions.
     """
-    my = jax.lax.axis_index(AXIS)
+    my = jax.lax.axis_index(axis)
     n_less = jnp.searchsorted(ks, splitters, side="left")  # (nb,)
     n_eq = jnp.searchsorted(ks, splitters, side="right") - n_less
-    less_tot = jax.lax.psum(n_less, AXIS)
-    eq_all = jax.lax.all_gather(n_eq, AXIS)  # (D, nb)
+    less_tot = jax.lax.psum(n_less, axis)
+    eq_all = jax.lax.all_gather(n_eq, axis)  # (D, nb)
     dev_ids = jnp.arange(n_dev)[:, None]
     eq_before = jnp.sum(jnp.where(dev_ids < my, eq_all, 0), axis=0)  # (nb,)
     remain = targets - less_tot  # equals to absorb on the left side
@@ -126,7 +165,7 @@ def _cut_positions(ks, splitters, targets, n_dev):
 
 
 def _ragged_a2a(operand, out, input_offsets, send_sizes, output_offsets,
-                recv_sizes, n_dev):
+                recv_sizes, n_dev, axis=AXIS):
     """ragged_all_to_all, with a dense emulation on platforms whose XLA
     backend lacks the HLO (XLA:CPU) — used by the CPU-mesh test path.
 
@@ -138,7 +177,7 @@ def _ragged_a2a(operand, out, input_offsets, send_sizes, output_offsets,
     if jax.devices()[0].platform == "tpu":
         return jax.lax.ragged_all_to_all(
             operand, out, input_offsets, send_sizes, output_offsets,
-            recv_sizes, axis_name=AXIS,
+            recv_sizes, axis_name=axis,
         )
     m = out.shape[0]
     j = jnp.arange(m)[None, :]  # (1, m) position in dest buffer
@@ -148,22 +187,24 @@ def _ragged_a2a(operand, out, input_offsets, send_sizes, output_offsets,
     send_mat = jnp.where(valid, jnp.take(operand, idx), jnp.zeros_like(operand[0]))
     vmat = valid.astype(jnp.int32)
     recv_mat = jax.lax.all_to_all(
-        send_mat[:, None, :], AXIS, split_axis=0, concat_axis=0
+        send_mat[:, None, :], axis, split_axis=0, concat_axis=0
     )[:, 0, :]
     vrecv = jax.lax.all_to_all(
-        vmat[:, None, :], AXIS, split_axis=0, concat_axis=0
+        vmat[:, None, :], axis, split_axis=0, concat_axis=0
     )[:, 0, :]
     filled = vrecv.sum(axis=0) > 0
     got = recv_mat.sum(axis=0).astype(operand.dtype)
     return jnp.where(filled, got, out)
 
 
-def _exchange_plan(ks, targets, m, n_dev):
-    """Splitters -> (input_offsets, send_sizes, output_offsets, recv_sizes)
-    for the ragged bucket exchange; all (D,) int32, in source rank order on
-    the receiver so stability is positional."""
-    splitters = _find_splitters(ks, targets, n_dev)
-    cuts = _cut_positions(ks, splitters, targets, n_dev)
+def _exchange_plan(ks, targets, m, n_dev, axis=AXIS):
+    """Splitters -> (input_offsets, send_sizes, output_offsets, recv_sizes,
+    sizes_all) for the ragged bucket exchange; the first four (D,) int32,
+    in source rank order on the receiver so stability is positional;
+    sizes_all is the fully replicated (D src, D dst) size matrix (the
+    hierarchical router plans both hops from it)."""
+    splitters = _find_splitters(ks, targets, n_dev, axis)
+    cuts = _cut_positions(ks, splitters, targets, n_dev, axis)
     bounds = jnp.concatenate(
         [jnp.zeros(1, cuts.dtype), cuts, jnp.full((1,), m, cuts.dtype)]
     )
@@ -171,14 +212,75 @@ def _exchange_plan(ks, targets, m, n_dev):
     input_offsets = bounds[:-1].astype(jnp.int32)  # (D,)
 
     # receiver-side placement: my chunk lands after chunks of lower ranks
-    sizes_all = jax.lax.all_gather(send_sizes, AXIS)  # (D src, D dst)
-    my = jax.lax.axis_index(AXIS)
+    sizes_all = jax.lax.all_gather(send_sizes, axis)  # (D src, D dst)
+    my = jax.lax.axis_index(axis)
     dev_ids = jnp.arange(n_dev)[:, None]
     output_offsets = jnp.sum(
         jnp.where(dev_ids < my, sizes_all, 0), axis=0
     ).astype(jnp.int32)  # (D,) offset in each dst's buffer for my data
     recv_sizes = sizes_all[:, my].astype(jnp.int32)  # from each source
-    return input_offsets, send_sizes, output_offsets, recv_sizes
+    return input_offsets, send_sizes, output_offsets, recv_sizes, sizes_all
+
+
+def _staged_exchange(arrs, sizes_all, in_off, H, C, m, slack, fills):
+    """Two-hop hierarchical exchange on a ("dcn", "ici") mesh.
+
+    Moves each of `arrs` (local sorted (m,) shards) to its flat-plan owner
+    through a per-host staging hop: hop A sends ONE contiguous block per
+    destination host over DCN (to my ici-peer there), hop B fans staged
+    blocks out to their final chips over ICI in H rounds (one per source
+    host, so the final (m,) buffers are in flat source-rank order —
+    positional stability). All routing is planned from the replicated
+    (D, D) `sizes_all`; no extra collectives beyond the data hops.
+
+    Returns (outs, ok) where ok is False on any device whose hop-A staging
+    buffer (slack * m) would overflow — the caller must discard the result
+    and retry with more slack (a slack of min(H, C) always suffices: a
+    staging chip receives at most min(H*m, C*m) elements).
+    """
+    D = H * C
+    my_h = jax.lax.axis_index(DCN_AXIS)
+    my_i = jax.lax.axis_index(ICI_AXIS)
+    s4 = sizes_all.reshape(H, C, H, C)  # [src_h, src_i, dst_h, dst_j]
+
+    # ---- hop A plan (my DCN group = chips with ici index my_i) ----
+    # A[h, h'] = bytes src (h, my_i) sends to its peer (h', my_i)
+    A = jnp.take(s4, my_i, axis=1).sum(axis=-1)  # (H src, H dst)
+    sendA = jnp.take(A, my_h, axis=0).astype(jnp.int32)  # (H,) my row
+    hh = jnp.arange(H)[:, None]
+    out_offA = jnp.sum(jnp.where(hh < my_h, A, 0), axis=0).astype(jnp.int32)
+    recvA = jnp.take(A, my_h, axis=1).astype(jnp.int32)  # (H,) my column
+    # my ranges for one dst host are contiguous (flat dsts h'*C..h'*C+C-1)
+    in_offA = in_off.reshape(H, C)[:, 0]
+    ok = recvA.sum() <= slack * m
+    blockA_off = (jnp.cumsum(recvA) - recvA).astype(jnp.int32)  # exclusive
+
+    # ---- hop B plan pieces shared across rounds ----
+    # dst columns of my host: (D src, C dst chips)
+    dstcols = jax.lax.dynamic_slice(sizes_all, (0, my_h * C), (D, C))
+    src_flat = jnp.arange(D)[:, None]
+
+    outs = []
+    for arr, fill in zip(arrs, fills):
+        bufA = jnp.full((slack * m,), fill, arr.dtype)
+        bufA = _ragged_a2a(arr, bufA, in_offA, sendA, out_offA, recvA, H,
+                           axis=DCN_AXIS)
+        final = jnp.full((m,), fill, arr.dtype)
+        for h in range(H):
+            rows = dstcols[h * C:(h + 1) * C]  # (C src chips of host h, C)
+            # my staged block from src (h, my_i): segment j goes to chip j
+            sB = jnp.take(rows, my_i, axis=0).astype(jnp.int32)  # (C,)
+            in_offB = blockA_off[h] + (jnp.cumsum(sB) - sB)
+            # final placement: after every flat source rank < h*C + my_i
+            before = src_flat < (h * C + my_i)
+            out_offB = jnp.sum(
+                jnp.where(before, dstcols, 0), axis=0
+            ).astype(jnp.int32)  # (C,)
+            recvB = jnp.take(rows, my_i, axis=1).astype(jnp.int32)  # (C,)
+            final = _ragged_a2a(bufA, final, in_offB, sB, out_offB, recvB,
+                                C, axis=ICI_AXIS)
+        outs.append(final)
+    return outs, ok
 
 
 def _bitonic_merge_halves(sA, sB, config, interpret):
@@ -207,8 +309,9 @@ def _bitonic_merge_halves(sA, sB, config, interpret):
 
 
 def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
-                       overlap=False):
-    n_dev = mesh.shape[AXIS]
+                       overlap=False, dcn_slack=1):
+    axis, n_dev = _mesh_axis(mesh)
+    hier = axis != AXIS and min(mesh.shape[DCN_AXIS], mesh.shape[ICI_AXIS]) > 1
     n = keys.shape[0]
     assert n % n_dev == 0  # the entry point pads to a mesh multiple
     m = n // n_dev
@@ -223,7 +326,25 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
             ks = _local_sort(ks, None, config, use_pallas)
 
         # 2-3. exact balanced cuts -> exchange plan
-        in_off, send, out_off, recv = _exchange_plan(ks, targets, m, n_dev)
+        in_off, send, out_off, recv, sizes_all = _exchange_plan(
+            ks, targets, m, n_dev, axis
+        )
+        ok = jnp.ones((1,), jnp.int32)
+
+        if hier:
+            # 4''. two-hop DCN-consolidated exchange (module docstring)
+            H, C = mesh.shape[DCN_AXIS], mesh.shape[ICI_AXIS]
+            arrs = [ks, vs] if key_value else [ks]
+            fills = [0xFFFFFFFF, 0][: len(arrs)]
+            outs, okd = _staged_exchange(
+                arrs, sizes_all, in_off, H, C, m, dcn_slack, fills
+            )
+            ok = jax.lax.pmin(okd.astype(jnp.int32), axis).reshape(1)
+            if key_value:
+                ks3, vs3 = _local_sort(outs[0], outs[1], config, use_pallas)
+                return ks3, vs3, ok
+            ks3 = _local_sort(outs[0], None, config, use_pallas)
+            return ks3, jnp.zeros((0,), jnp.uint32), ok
 
         if overlap and not key_value and half >= 1:
             # 4'. source-split exchange: sources [0, half) first, the rest
@@ -231,16 +352,16 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
             # half's local sort, so XLA's async scheduler can overlap them.
             src = jnp.arange(n_dev)
             lo_mask = (src < half).astype(jnp.int32)
-            my = jax.lax.axis_index(AXIS)
+            my = jax.lax.axis_index(axis)
             amL = jnp.where(my < half, 1, 0)
             amH = 1 - amL
             sent = jnp.full((m,), 0xFFFFFFFF, jnp.uint32)
             # offsets of my received-low block: low sources precede high
             # ones in out_off construction, so low lands at out_off as-is
             kA = _ragged_a2a(ks, sent, in_off, send * amL, out_off,
-                             recv * lo_mask, n_dev)
+                             recv * lo_mask, n_dev, axis)
             kB = _ragged_a2a(ks, sent, in_off, send * amH, out_off,
-                             recv * (1 - lo_mask), n_dev)
+                             recv * (1 - lo_mask), n_dev, axis)
             sA = _local_sort(kA, None, config, use_pallas)
             sB = _local_sort(kB, None, config, use_pallas)
             # both halves are ascending with sentinel tails; one bitonic
@@ -251,25 +372,26 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
                 merged = _bitonic_merge_halves(sA, sB, config, interpret)
             else:
                 merged = jnp.sort(jnp.concatenate([sA, jnp.flip(sB)]))[:m]
-            return merged, jnp.zeros((0,), jnp.uint32)
+            return merged, jnp.zeros((0,), jnp.uint32), ok
 
         # 4. ragged bucket exchange over ICI
         out = jnp.zeros((m,), ks.dtype)
-        ks2 = _ragged_a2a(ks, out, in_off, send, out_off, recv, n_dev)
+        ks2 = _ragged_a2a(ks, out, in_off, send, out_off, recv, n_dev, axis)
         if key_value:
             vout = jnp.zeros((m,), vs.dtype)
-            vs2 = _ragged_a2a(vs, vout, in_off, send, out_off, recv, n_dev)
+            vs2 = _ragged_a2a(vs, vout, in_off, send, out_off, recv, n_dev,
+                              axis)
             # 5. local stable re-sort; source chunks arrive in rank order so
             # a stable sort preserves global stability.
             ks3, vs3 = _local_sort(ks2, vs2, config, use_pallas)
-            return ks3, vs3
+            return ks3, vs3, ok
         ks3 = _local_sort(ks2, None, config, use_pallas)
-        return ks3, jnp.zeros((0,), jnp.uint32)
+        return ks3, jnp.zeros((0,), jnp.uint32), ok
 
-    spec = P(AXIS)
+    spec = P(axis)
     fn = jax.shard_map(
-        shard_fn, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec),
-        check_vma=False,
+        shard_fn, mesh=mesh, in_specs=(spec, spec),
+        out_specs=(spec, spec, P()), check_vma=False,
     )
     if values is None:
         values = jnp.zeros((n,), jnp.uint32)
@@ -287,17 +409,21 @@ def _pad_to_mesh(x, n_dev, fill):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "config", "key_value", "use_pallas", "overlap", "has_count"
+        "mesh", "config", "key_value", "use_pallas", "overlap", "has_count",
+        "dcn_slack",
     ),
 )
 def _sort_entry(keys, values, count, *, mesh, config, key_value, use_pallas,
-                overlap, has_count):
+                overlap, has_count, dcn_slack=1):
     """One jitted program: mask (indirect), pad to a mesh multiple, run the
     sharded pipeline, slice back, restore tails. Keeping the ragged slice
     and the where-restores inside the jit lets GSPMD resolve the uneven
-    output sharding (an eager slice of a sharded array is ambiguous)."""
+    output sharding (an eager slice of a sharded array is ambiguous).
+
+    The third return is the hierarchical router's staging-fit flag (always
+    1 on 1-D meshes); on 0 the caller must retry with more dcn_slack."""
     n = keys.shape[0]
-    n_dev = mesh.shape[AXIS]
+    _, n_dev = _mesh_axis(mesh)
     if has_count:
         in_range = jnp.arange(n, dtype=jnp.uint32) < count
         mk = jnp.where(in_range, keys, jnp.uint32(0xFFFFFFFF))
@@ -305,9 +431,9 @@ def _sort_entry(keys, values, count, *, mesh, config, key_value, use_pallas,
         mk = keys
     pk = _pad_to_mesh(mk, n_dev, 0xFFFFFFFF)
     pv = _pad_to_mesh(values, n_dev, 0) if key_value else None
-    k, v = _sort_sharded_impl(
+    k, v, ok = _sort_sharded_impl(
         pk, pv, mesh=mesh, config=config, key_value=key_value,
-        use_pallas=use_pallas, overlap=overlap,
+        use_pallas=use_pallas, overlap=overlap, dcn_slack=dcn_slack,
     )
 
     def unpad(x):
@@ -326,45 +452,96 @@ def _sort_entry(keys, values, count, *, mesh, config, key_value, use_pallas,
         v = unpad(v)
         if has_count:
             v = jnp.where(in_range, v, values)
+        return k, v, ok
+    return k, jnp.zeros((0,), jnp.uint32), ok
+
+
+def _run_with_slack(keys, values, count, *, mesh, config, key_value,
+                    use_pallas, overlap, has_count, dcn_slack):
+    """Run _sort_entry; on a 2-D mesh, pick/grow the hop-A staging slack.
+
+    dcn_slack=None starts at min(2, min(H, C)) and doubles on overflow
+    (each retry recompiles, cached per slack; min(H, C) always fits).
+    An explicit dcn_slack is respected but overflow raises rather than
+    returning a corrupt sort.
+    """
+    axis, _ = _mesh_axis(mesh)
+    hier = axis != AXIS and min(mesh.shape[DCN_AXIS], mesh.shape[ICI_AXIS]) > 1
+    if not hier:
+        k, v, _ = _sort_entry(
+            keys, values, count, mesh=mesh, config=config,
+            key_value=key_value, use_pallas=use_pallas, overlap=overlap,
+            has_count=has_count,
+        )
         return k, v
-    return k, jnp.zeros((0,), jnp.uint32)
+    cap = min(mesh.shape[DCN_AXIS], mesh.shape[ICI_AXIS])
+    fixed = dcn_slack is not None
+    slack = dcn_slack if fixed else min(2, cap)
+    while True:
+        k, v, ok = _sort_entry(
+            keys, values, count, mesh=mesh, config=config,
+            key_value=key_value, use_pallas=use_pallas, overlap=overlap,
+            has_count=has_count, dcn_slack=slack,
+        )
+        if bool(ok[0]) if hasattr(ok, "shape") else bool(ok):
+            return k, v
+        if fixed:
+            raise ValueError(
+                f"dcn_slack={slack} staging buffer overflowed for this key "
+                f"distribution; pass dcn_slack=None (adaptive) or a larger "
+                f"value (min(H, C)={cap} always suffices)"
+            )
+        if slack >= cap:  # unreachable: cap always fits; defensive
+            raise AssertionError("hierarchical staging overflow at cap")
+        slack = min(cap, slack * 2)
 
 
 def sort_sharded(keys, mesh: Mesh, config: SortConfig | None = None,
                  count=None, use_pallas: bool | None = None,
-                 overlap: bool = False):
+                 overlap: bool = False, dcn_slack: int | None = None):
     """Sort a 1-D uint32 array of any length sharded (or shardable) over
     `mesh`; returns the globally sorted array (same length).
 
     count= sorts only the global prefix (traced scalar ok), leaving the
     suffix untouched — the distributed analog of vrdxCmdSortIndirect.
     overlap=True uses the source-split exchange (see module docstring).
+
+    A 2-D ("dcn", "ici") mesh (make_mesh_2d) routes the exchange
+    hierarchically: one consolidated DCN message per destination host,
+    fan-out over ICI; dcn_slack sizes the staging hop (None = adaptive).
+    overlap= currently applies to 1-D meshes only.
     """
     if use_pallas is None:
         use_pallas = _default_use_pallas(config)
     c = jnp.uint32(0) if count is None else jnp.uint32(count)
-    k, _ = _sort_entry(
+    k, _ = _run_with_slack(
         keys, jnp.zeros((keys.shape[0],), jnp.uint32), c, mesh=mesh,
         config=config, key_value=False, use_pallas=use_pallas,
-        overlap=overlap, has_count=count is not None,
+        overlap=overlap, has_count=count is not None, dcn_slack=dcn_slack,
     )
     return k
 
 
 def sort_pairs_sharded(keys, values, mesh: Mesh,
                        config: SortConfig | None = None, count=None,
-                       use_pallas: bool | None = None):
+                       use_pallas: bool | None = None,
+                       dcn_slack: int | None = None):
     """Stable distributed key-value sort of any length; values ride a second
     ragged exchange as a separate 32-bit buffer (reference README.md:60).
 
     count= sorts only the global prefix of pairs; both tails untouched.
     Masked entries form a global suffix in (device, position) order, so the
     stable pipeline keeps them behind every genuine equal key.
+
+    On a 2-D ("dcn", "ici") mesh both buffers ride the hierarchical
+    two-hop exchange; hop-B rounds keep flat source-rank order, so the
+    final stable re-sort preserves global stability exactly as on 1-D.
     """
     if use_pallas is None:
         use_pallas = _default_use_pallas(config)
     c = jnp.uint32(0) if count is None else jnp.uint32(count)
-    return _sort_entry(
+    return _run_with_slack(
         keys, values, c, mesh=mesh, config=config, key_value=True,
         use_pallas=use_pallas, overlap=False, has_count=count is not None,
+        dcn_slack=dcn_slack,
     )

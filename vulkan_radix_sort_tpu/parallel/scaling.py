@@ -44,7 +44,7 @@ def _stage_fns(mesh, config, use_pallas, overlap, m):
         return D._local_sort(ks, None, config, use_pallas)
 
     def exchange_shard(ks):
-        in_off, send, out_off, recv = D._exchange_plan(ks, targets, m, n_dev)
+        in_off, send, out_off, recv, _ = D._exchange_plan(ks, targets, m, n_dev)
         out = jnp.full((m,), 0xFFFFFFFF, jnp.uint32)
         return D._ragged_a2a(ks, out, in_off, send, out_off, recv, n_dev)
 
