@@ -476,6 +476,21 @@ def _run_with_slack(keys, values, count, *, mesh, config, key_value,
         return k, v
     cap = min(mesh.shape[DCN_AXIS], mesh.shape[ICI_AXIS])
     fixed = dcn_slack is not None
+    if isinstance(keys, jax.core.Tracer):
+        # under an outer jit the staging-fit flag is a tracer and cannot
+        # drive a retry; only the provably safe slack is usable
+        if fixed and dcn_slack < cap:
+            raise ValueError(
+                f"sort_sharded under jit on a 2-D mesh cannot verify "
+                f"dcn_slack={dcn_slack}; pass dcn_slack=None (uses the "
+                f"safe bound min(H, C)={cap}) or >= {cap}"
+            )
+        k, v, _ = _sort_entry(
+            keys, values, count, mesh=mesh, config=config,
+            key_value=key_value, use_pallas=use_pallas, overlap=overlap,
+            has_count=has_count, dcn_slack=dcn_slack if fixed else cap,
+        )
+        return k, v
     slack = dcn_slack if fixed else min(2, cap)
     while True:
         k, v, ok = _sort_entry(

@@ -102,6 +102,102 @@ def phase_report(mesh, n: int, config: SortConfig | None = None,
     }
 
 
+def dcn_report(mesh2d, n: int, config: SortConfig | None = None,
+               use_pallas: bool | None = None, dcn_slack: int = 2,
+               seed: int = 0, iters: int = 3) -> dict:
+    """Phase times + per-tier traffic accounting for the hierarchical
+    exchange on a ("dcn", "ici") mesh.
+
+    Byte volumes are exact (from the run's own exchange plan): hop A's
+    cross-host bytes equal the flat plan's cross-host bytes — the
+    consolidation changes the slow-tier MESSAGE count (H-1 per chip vs
+    D-1), not the byte count — and hop B adds an intra-host forwarding
+    pass of everything staged. Message counts are the static fan-outs.
+    """
+    from ..utils import datagen
+
+    if use_pallas is None:
+        use_pallas = D._default_use_pallas(config)
+    H, C = mesh2d.shape[D.DCN_AXIS], mesh2d.shape[D.ICI_AXIS]
+    n_dev = H * C
+    axis = (D.DCN_AXIS, D.ICI_AXIS)
+    assert n % n_dev == 0, "use a mesh-multiple n for the dcn report"
+    m = n // n_dev
+    spec = jax.sharding.PartitionSpec(axis)
+    targets = (jnp.arange(1, n_dev) * m).astype(jnp.int32)
+
+    def local_sort_shard(ks):
+        return D._local_sort(ks, None, config, use_pallas)
+
+    def staged_exchange_shard(ks):
+        in_off, _, _, _, sizes_all = D._exchange_plan(
+            ks, targets, m, n_dev, axis
+        )
+        (out,), _ = D._staged_exchange(
+            [ks], sizes_all, in_off, H, C, m, dcn_slack, [0xFFFFFFFF]
+        )
+        return out
+
+    def traffic_shard(ks):
+        _, _, _, _, sizes_all = D._exchange_plan(ks, targets, m, n_dev, axis)
+        s4 = sizes_all.reshape(H, C, H, C)
+        hh = jnp.arange(H)
+        cross = (hh[:, None] != hh[None, :])  # (src_h, dst_h)
+        dcn_elems = jnp.sum(
+            jnp.where(cross[:, None, :, None], s4, 0)
+        ).reshape(1)
+        total_elems = jnp.sum(s4).reshape(1)
+        return jnp.concatenate([dcn_elems, total_elems])
+
+    def smap(f, out_specs=spec):
+        return jax.jit(jax.shard_map(
+            f, mesh=mesh2d, in_specs=(spec,), out_specs=out_specs,
+            check_vma=False,
+        ))
+
+    keys = jnp.asarray(datagen.generate_keys(n, seed=seed))
+    keys = jax.device_put(keys, jax.sharding.NamedSharding(mesh2d, spec))
+    f_local = smap(local_sort_shard)
+    f_exch = smap(staged_exchange_shard)
+    # time the internal fixed-slack entry: the public wrapper's adaptive
+    # retry needs a concrete fit flag, which a timing jit cannot provide
+    full = jax.jit(lambda k: D._sort_entry(
+        k, jnp.zeros_like(k), jnp.uint32(0), mesh=mesh2d, config=config,
+        key_value=False, use_pallas=use_pallas, overlap=False,
+        has_count=False, dcn_slack=dcn_slack,
+    )[0])
+
+    t_local = marginal_time(f_local, keys, iters=iters)
+    sorted_keys = f_local(keys)
+    t_exch = marginal_time(f_exch, sorted_keys, iters=iters)
+    exchanged = f_exch(sorted_keys)
+    t_resort = marginal_time(f_local, exchanged, iters=iters)
+    t_full = marginal_time(full, keys, iters=iters)
+    traffic = jax.shard_map(
+        traffic_shard, mesh=mesh2d, in_specs=(spec,),
+        out_specs=jax.sharding.PartitionSpec(), check_vma=False,
+    )(sorted_keys)
+    dcn_bytes = int(traffic[0]) * 4
+    total_bytes = int(traffic[1]) * 4
+
+    parts = t_local + t_exch + t_resort
+    return {
+        "n": n,
+        "mesh": (H, C),
+        "local_sort_s": t_local,
+        "exchange_s": t_exch,
+        "resort_s": t_resort,
+        "full_s": t_full,
+        "exchange_fraction": t_exch / parts if parts > 0 else 0.0,
+        "dcn_bytes": dcn_bytes,
+        "hop_b_ici_bytes": total_bytes,
+        "dcn_messages_per_chip": H - 1,
+        "flat_dcn_messages_per_chip": (H - 1) * C,
+        "dcn_slack": dcn_slack,
+        "use_pallas": use_pallas,
+    }
+
+
 def scaling_report(m_per_device: int, device_counts=None,
                    config: SortConfig | None = None,
                    use_pallas: bool | None = None, iters: int = 3) -> list:
