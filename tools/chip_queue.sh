@@ -1,0 +1,45 @@
+#!/bin/bash
+# One-shot chip queue: run every chip-gated measurement left on the round-2
+# ledger (docs/STATUS.md) in priority order, appending JSON/text results to
+# bench_results/chip_queue.log. Designed to survive a tunnel that drops
+# mid-run: each step is independent, timeout-guarded, and logged as it
+# finishes, so a partial window still captures the head of the queue.
+#
+# Usage: bash tools/chip_queue.sh [logfile]
+set -u
+cd "$(dirname "$0")/.."
+LOG="${1:-bench_results/chip_queue.log}"
+mkdir -p bench_results
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name="$1" to="$2"; shift 2
+  echo "=== $name ($(date -u +%H:%M:%SZ)) ===" | tee -a "$LOG"
+  timeout "$to" "$@" 2>&1 | tail -40 | tee -a "$LOG"
+  echo "--- $name exit=$? ---" | tee -a "$LOG"
+}
+
+# 1. headline re-verify (bench.py median-of-3) — the driver metric
+run bench 1200 python bench.py
+
+# 2. indirect keys re-verify (~23 ms expected; was pending at outage)
+run indirect 1200 python tools/round2_chip_check.py indirect
+
+# 3. u64 KV timing at 2^25 (STATUS open problem 5; w4 kernels compile-heavy)
+run u64kv 2400 python tools/round2_chip_check.py u64kv
+
+# 4. transpose slope probe — decides the T-layout (open problem 3)
+run t_slope 1200 python tools/probes/probe_transpose_slope.py
+
+# 5. T-layout on-chip A/B (keys + kv), both lowerings
+run t_keys_batched 1200 env VRS_TRANSPOSE=1 VRS_T_IMPL=batched \
+    python tools/round2_chip_check.py keys
+run t_keys_unrolled 1800 env VRS_TRANSPOSE=1 VRS_T_IMPL=unrolled \
+    python tools/round2_chip_check.py keys
+
+# 6. KV auto-backend cutoff sweep (VERDICT #7)
+run kv_cutoff 2400 python tools/probes/kv_cutoff.py
+
+# 7. CE-chain floor artifact (RADIX_INVESTIGATION 3b.2)
+run ce_floor 1200 python tools/probes/ce_floor.py
+
+echo "QUEUE DONE $(date -u +%H:%M:%SZ)" | tee -a "$LOG"
