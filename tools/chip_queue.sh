@@ -36,6 +36,11 @@ run t_keys_batched 1200 env VRS_TRANSPOSE=1 VRS_T_IMPL=batched \
 run t_keys_unrolled 1800 env VRS_TRANSPOSE=1 VRS_T_IMPL=unrolled \
     python tools/round2_chip_check.py keys
 
+# 5b. T-layout stable KV (value moves on every sublane stage but each
+#     move is cheap there; only worth it if 5's unrolled keys run won)
+run t_kv_all_unrolled 2400 env VRS_TRANSPOSE=1 VRS_T_IMPL=unrolled \
+    VRS_T_MODES=all python tools/round2_chip_check.py kv
+
 # 6. KV auto-backend cutoff sweep (VERDICT #7)
 run kv_cutoff 2400 python tools/probes/kv_cutoff.py
 
