@@ -223,6 +223,23 @@ def test_2d_staging_overflow_raises_and_adapts():
     np.testing.assert_array_equal(got, np.sort(keys))
 
 
+def test_2d_traced_count_under_jit():
+    """The count= contract says "traced scalar ok": under an outer jit on
+    a 2-D mesh the adaptive retry cannot read the staging-fit flag, so
+    the safe slack must engage when ANY operand is traced — count
+    included, not just keys (regression: a traced count with concrete
+    keys used to hit the concrete retry loop and crash on bool(tracer))."""
+    mesh = distributed.make_mesh_2d(2, 4)
+    n = 8 * 1024
+    keys = datagen.generate_keys(n, seed=46, distribution="few")
+    f = jax.jit(
+        lambda c: distributed.sort_sharded(jnp.asarray(keys), mesh, count=c)
+    )
+    got = np.asarray(f(jnp.uint32(997)))
+    np.testing.assert_array_equal(got[:997], np.sort(keys[:997]))
+    np.testing.assert_array_equal(got[997:], keys[997:])
+
+
 @pytest.mark.slow
 def test_2d_pallas_engine_under_shard_map():
     """Production Pallas kernels inside the hierarchical path."""

@@ -15,7 +15,8 @@ run() { # run <name> <timeout_s> <cmd...>
   local name="$1" to="$2"; shift 2
   echo "=== $name ($(date -u +%H:%M:%SZ)) ===" | tee -a "$LOG"
   timeout "$to" "$@" 2>&1 | tail -40 | tee -a "$LOG"
-  echo "--- $name exit=$? ---" | tee -a "$LOG"
+  # the measurement's own status, not tee's (124 = killed by timeout)
+  echo "--- $name exit=${PIPESTATUS[0]} ---" | tee -a "$LOG"
 }
 
 # 1. headline re-verify (bench.py median-of-3) — the driver metric

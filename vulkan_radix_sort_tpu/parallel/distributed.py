@@ -233,26 +233,43 @@ def _staged_exchange(arrs, sizes_all, in_off, H, C, m, slack, fills):
     positional stability). All routing is planned from the replicated
     (D, D) `sizes_all`; no extra collectives beyond the data hops.
 
-    Returns (outs, ok) where ok is False on any device whose hop-A staging
-    buffer (slack * m) would overflow — the caller must discard the result
-    and retry with more slack (a slack of min(H, C) always suffices: a
-    staging chip receives at most min(H*m, C*m) elements).
+    Returns (outs, ok). ok is a replicated scalar, False when ANY chip's
+    hop-A staging buffer (slack * m) would overflow; in that case the hops
+    run with zeroed sizes (an in-bounds no-op — a ragged_all_to_all must
+    never see offsets/sizes past its buffers), `outs` are the fill arrays,
+    and the caller must retry with more slack (a slack of min(H, C)
+    always suffices: a staging chip receives at most min(H*m, C*m)
+    elements).
     """
     D = H * C
     my_h = jax.lax.axis_index(DCN_AXIS)
     my_i = jax.lax.axis_index(ICI_AXIS)
     s4 = sizes_all.reshape(H, C, H, C)  # [src_h, src_i, dst_h, dst_j]
 
+    # ---- global staging-fit check (BEFORE any collective) ----
+    # staging chip (h', i) receives sum over h, j of s4[h, i, h', j]; the
+    # size matrix is replicated, so every chip reaches the same verdict.
+    # On overflow the hops below run with zeroed sizes (an in-bounds
+    # no-op) and the caller retries with more slack — the TPU
+    # ragged_all_to_all must never be launched with offsets/sizes past
+    # the staging buffer (an out-of-bounds DMA is undefined behavior,
+    # and the "overflow never corrupts" contract would otherwise rest
+    # on it).
+    recv_staging = s4.sum(axis=3).sum(axis=0)  # (C ici, H dst_host)
+    ok = recv_staging.max() <= slack * m
+    z = ok.astype(jnp.int32)
+
     # ---- hop A plan (my DCN group = chips with ici index my_i) ----
     # A[h, h'] = bytes src (h, my_i) sends to its peer (h', my_i)
     A = jnp.take(s4, my_i, axis=1).sum(axis=-1)  # (H src, H dst)
-    sendA = jnp.take(A, my_h, axis=0).astype(jnp.int32)  # (H,) my row
+    sendA = jnp.take(A, my_h, axis=0).astype(jnp.int32) * z  # (H,) my row
     hh = jnp.arange(H)[:, None]
-    out_offA = jnp.sum(jnp.where(hh < my_h, A, 0), axis=0).astype(jnp.int32)
-    recvA = jnp.take(A, my_h, axis=1).astype(jnp.int32)  # (H,) my column
+    out_offA = (
+        jnp.sum(jnp.where(hh < my_h, A, 0), axis=0).astype(jnp.int32) * z
+    )
+    recvA = jnp.take(A, my_h, axis=1).astype(jnp.int32) * z  # (H,) column
     # my ranges for one dst host are contiguous (flat dsts h'*C..h'*C+C-1)
     in_offA = in_off.reshape(H, C)[:, 0]
-    ok = recvA.sum() <= slack * m
     blockA_off = (jnp.cumsum(recvA) - recvA).astype(jnp.int32)  # exclusive
 
     # ---- hop B plan pieces shared across rounds ----
@@ -269,14 +286,16 @@ def _staged_exchange(arrs, sizes_all, in_off, H, C, m, slack, fills):
         for h in range(H):
             rows = dstcols[h * C:(h + 1) * C]  # (C src chips of host h, C)
             # my staged block from src (h, my_i): segment j goes to chip j
-            sB = jnp.take(rows, my_i, axis=0).astype(jnp.int32)  # (C,)
+            sB = jnp.take(rows, my_i, axis=0).astype(jnp.int32) * z  # (C,)
             in_offB = blockA_off[h] + (jnp.cumsum(sB) - sB)
             # final placement: after every flat source rank < h*C + my_i
             before = src_flat < (h * C + my_i)
             out_offB = jnp.sum(
                 jnp.where(before, dstcols, 0), axis=0
-            ).astype(jnp.int32)  # (C,)
-            recvB = jnp.take(rows, my_i, axis=1).astype(jnp.int32)  # (C,)
+            ).astype(jnp.int32) * z  # (C,)
+            recvB = (
+                jnp.take(rows, my_i, axis=1).astype(jnp.int32) * z
+            )  # (C,)
             final = _ragged_a2a(bufA, final, in_offB, sB, out_offB, recvB,
                                 C, axis=ICI_AXIS)
         outs.append(final)
@@ -476,8 +495,11 @@ def _run_with_slack(keys, values, count, *, mesh, config, key_value,
         return k, v
     cap = min(mesh.shape[DCN_AXIS], mesh.shape[ICI_AXIS])
     fixed = dcn_slack is not None
-    if isinstance(keys, jax.core.Tracer):
-        # under an outer jit the staging-fit flag is a tracer and cannot
+    if any(
+        isinstance(x, jax.core.Tracer) for x in (keys, values, count)
+    ):
+        # under an outer jit (ANY traced operand — keys, values, or a
+        # traced count=) the staging-fit flag is a tracer and cannot
         # drive a retry; only the provably safe slack is usable
         if fixed and dcn_slack < cap:
             raise ValueError(
@@ -492,6 +514,7 @@ def _run_with_slack(keys, values, count, *, mesh, config, key_value,
         )
         return k, v
     slack = dcn_slack if fixed else min(2, cap)
+    assert not isinstance(keys, jax.core.Tracer)
     while True:
         k, v, ok = _sort_entry(
             keys, values, count, mesh=mesh, config=config,
