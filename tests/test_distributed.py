@@ -223,6 +223,44 @@ def test_2d_staging_overflow_raises_and_adapts():
     np.testing.assert_array_equal(got, np.sort(keys))
 
 
+def test_2d_overflow_hops_are_noop():
+    """On staging overflow the exchange hops must run with zeroed sizes —
+    returned buffers are untouched fills and ok is False everywhere. (On
+    TPU this is what keeps a ragged_all_to_all from ever being launched
+    with offsets/sizes past the staging buffer; the overflow verdict is
+    computed from the replicated size matrix BEFORE any collective.)"""
+    H, C = 2, 4
+    mesh = distributed.make_mesh_2d(H, C)
+    n = 8 * 1024
+    m = n // 8
+    rng = np.random.default_rng(47)
+    keys = np.full(n, 0xF0000000, np.uint32)  # all data bound for host 1
+    keys[0 * m:1 * m] = rng.integers(0, 1000, m).astype(np.uint32)
+    keys[4 * m:5 * m] = rng.integers(0, 1000, m).astype(np.uint32)
+    targets = (jnp.arange(1, 8) * m).astype(jnp.int32)
+    axis = (distributed.DCN_AXIS, distributed.ICI_AXIS)
+    spec = jax.sharding.PartitionSpec(axis)
+
+    def shard_fn(ks):
+        ks = jnp.sort(ks)
+        in_off, _, _, _, sizes_all = distributed._exchange_plan(
+            ks, targets, m, 8, axis
+        )
+        (out,), ok = distributed._staged_exchange(
+            [ks], sizes_all, in_off, H, C, m, 1, [0xFFFFFFFF]
+        )
+        return out, ok.astype(jnp.int32).reshape(1)
+
+    out, ok = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(spec,),
+        out_specs=(spec, jax.sharding.PartitionSpec()), check_vma=False,
+    )(jnp.asarray(keys))
+    assert int(np.asarray(ok)[0]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(out), np.full(n, 0xFFFFFFFF, np.uint32)
+    )
+
+
 def test_2d_traced_count_under_jit():
     """The count= contract says "traced scalar ok": under an outer jit on
     a 2-D mesh the adaptive retry cannot read the staging-fit flag, so
