@@ -48,4 +48,10 @@ run kv_cutoff 2400 python tools/probes/kv_cutoff.py
 # 7. CE-chain floor artifact (RADIX_INVESTIGATION 3b.2)
 run ce_floor 1200 python tools/probes/ce_floor.py
 
+# 8. refreshed sweep curves with the round-2 engine (packed-lazy KV,
+#    lo/hi lex CE) — keys + stable kv + kvns, 8 sizes (compile-heavy on
+#    first run; the persistent cache amortizes reruns)
+run sweep_r2 3600 python -m vulkan_radix_sort_tpu.bench network \
+    --steps 8 --nonstable -o bench_results/network_v5e_r2.csv
+
 echo "QUEUE DONE $(date -u +%H:%M:%SZ)" | tee -a "$LOG"
