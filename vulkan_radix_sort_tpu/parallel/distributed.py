@@ -33,9 +33,16 @@ bucket exchange by source half into two ragged collectives; each received
 half is sorted independently and the halves are combined with a single
 bitonic merge (a bitonic-sequence cleanup, log2 stages instead of a full
 re-sort). The two collectives and the first half-sort are independent
-programs, which is exactly the shape XLA's async scheduler overlaps on TPU;
-`parallel.scaling.phase_report` measures the realized collective/compute
-fractions.
+programs, which is exactly the shape XLA's async scheduler overlaps on TPU.
+The trade is NOT free: each half-buffer is a full m slots (ragged receive
+sizes are dynamic, so the half-sorts cannot be statically shortened, and
+the second half's data sits at the tail where the sentinel-block prefix
+skip cannot help), so local re-sort compute roughly doubles vs the
+non-overlap path. overlap=True wins when the exchange time it hides
+exceeds the added sort time — i.e. when the collective dominates
+(cross-host meshes, large D); `parallel.scaling.phase_report` measures
+the realized collective/compute fractions so that trade can be read off
+per deployment rather than assumed.
 
 Collectives ride ICI via XLA (psum / all_gather / ragged_all_to_all inside
 shard_map); no NCCL-style code is translated from anywhere.
@@ -552,8 +559,12 @@ def sort_sharded(keys, mesh: Mesh, config: SortConfig | None = None,
     if use_pallas is None:
         use_pallas = _default_use_pallas(config)
     c = jnp.uint32(0) if count is None else jnp.uint32(count)
+    # zero-length placeholder: a keys-only sort must not commit a full
+    # global-n dummy value buffer on the default device (4 GiB at the
+    # 2^30-key target); the in-jit dummy that the shard_map signature
+    # needs is created inside _sort_sharded_impl where XLA can DCE it
     k, _ = _run_with_slack(
-        keys, jnp.zeros((keys.shape[0],), jnp.uint32), c, mesh=mesh,
+        keys, jnp.zeros((0,), jnp.uint32), c, mesh=mesh,
         config=config, key_value=False, use_pallas=use_pallas,
         overlap=overlap, has_count=count is not None, dcn_slack=dcn_slack,
     )
