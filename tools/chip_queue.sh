@@ -48,6 +48,9 @@ run kv_cutoff 2400 python tools/probes/kv_cutoff.py
 # 7. CE-chain floor artifact (RADIX_INVESTIGATION 3b.2)
 run ce_floor 1200 python tools/probes/ce_floor.py
 
+# 7b. CE formulation A/B (dependent hi-roll vs two independent rolls)
+run ce_variants 1200 python tools/probes/ce_variants.py
+
 # 8. refreshed sweep curves with the round-2 engine (packed-lazy KV,
 #    lo/hi lex CE) — keys + stable kv + kvns, 8 sizes (compile-heavy on
 #    first run; the persistent cache amortizes reruns)
