@@ -16,7 +16,6 @@ replicating the reference's sweep/verification methodology.
 from .config import SortConfig, default_config
 from .models.sorter import Sorter, create_sorter
 from .ops import bitonic, radix, reference
-from .ops.radix import sort_pairs_u32, sort_u32
 
 __version__ = "0.2.0"
 
@@ -30,8 +29,6 @@ __all__ = [
     "reference",
     "sort",
     "sort_key_value",
-    "sort_pairs_u32",
-    "sort_u32",
 ]
 
 
