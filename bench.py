@@ -16,7 +16,42 @@ BASELINE_KEYS_GITEMS = 12.07  # reference README.md:57 (RTX 5080)
 
 
 def main():
-    import jax
+    # Backend init can fail OR hang when the TPU tunnel is down — observed
+    # both a fast RuntimeError and `import jax` itself blocking for minutes
+    # (the axon plugin touches the tunnel at import). Either way, emit the
+    # JSON contract (diagnosable artifact) instead of a traceback or a
+    # silent timeout: the whole import + devices() runs in a daemon thread
+    # under a watchdog; on expiry the process exits with the error line.
+    import os
+    import threading
+
+    box = {}
+
+    def _init():
+        try:
+            import jax
+
+            box["jax"] = jax
+            box["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report any init failure
+            box["error"] = f"{type(e).__name__}: {e}"
+
+    th = threading.Thread(target=_init, daemon=True)
+    th.start()
+    th.join(timeout=float(os.environ.get("VRS_INIT_TIMEOUT", "180")))
+    if "devices" not in box:
+        print(json.dumps({
+            "metric": "keys_gitems_per_s", "value": 0.0, "unit": "GItems/s",
+            "vs_baseline": 0.0,
+            "error": "backend init failed: "
+                     + box.get("error", "timed out (TPU tunnel down?)"),
+        }), flush=True)
+        # os._exit: a hung backend-init thread can block normal interpreter
+        # shutdown indefinitely; the JSON line is already flushed.
+        os._exit(1)
+    jax = box["jax"]
+    devices = box["devices"]
+
     import jax.numpy as jnp
 
     from vulkan_radix_sort_tpu.config import enable_compilation_cache
@@ -30,7 +65,7 @@ def main():
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
     kj = jnp.asarray(keys)
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    on_tpu = devices[0].platform == "tpu"
     if on_tpu:
         chunk = 1 << 16  # measured optimum at N=2^25 (tools/microbench.py scans)
         sort = lambda a: bitonic.sort_u32(a, chunk=chunk)  # noqa: E731

@@ -114,6 +114,54 @@ def test_overlap_exchange(mesh, dist):
     np.testing.assert_array_equal(got, np.sort(keys))
 
 
+@pytest.mark.parametrize("dist", ["uniform", "constant", "few"])
+def test_overlap_pairs_stable(mesh, dist):
+    """Stable KV sort through the source-split exchange: compacted
+    arrivals + validity-clamped merge must preserve global stability."""
+    n = 8 * 2048
+    keys = datagen.generate_keys(n, seed=30, distribution=dist)
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = distributed.sort_pairs_sharded(
+        jnp.asarray(keys), jnp.asarray(vals), mesh, overlap=True
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_overlap_pairs_with_max_keys(mesh):
+    """Genuine 0xFFFFFFFF keys are indistinguishable from exchange fill by
+    key alone; the overlap merge must keep their values via the
+    genuine-prefix validity argument, never the key sentinel."""
+    n = 8 * 1024
+    rng = np.random.default_rng(31)
+    keys = rng.integers(0, 50, n).astype(np.uint32)
+    keys[rng.random(n) < 0.3] = 0xFFFFFFFF
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = distributed.sort_pairs_sharded(
+        jnp.asarray(keys), jnp.asarray(vals), mesh, overlap=True
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_overlap_pairs_count(mesh):
+    """overlap=True composed with the indirect (count=) path."""
+    n = 8 * 1024
+    c = 3000
+    keys = datagen.generate_keys(n, seed=32, distribution="few")
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = distributed.sort_pairs_sharded(
+        jnp.asarray(keys), jnp.asarray(vals), mesh, count=c, overlap=True
+    )
+    order = np.argsort(keys[:c], kind="stable")
+    np.testing.assert_array_equal(np.asarray(k)[:c], keys[:c][order])
+    np.testing.assert_array_equal(np.asarray(v)[:c], vals[:c][order])
+    np.testing.assert_array_equal(np.asarray(k)[c:], keys[c:])
+    np.testing.assert_array_equal(np.asarray(v)[c:], vals[c:])
+
+
 def test_pallas_engine_under_shard_map(mesh):
     """The production Pallas kernels running inside shard_map (interpret
     mode on the CPU mesh) — the combination the real pod executes."""
@@ -193,6 +241,49 @@ def test_2d_pairs_stable(mesh2d):
     order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(np.asarray(k), keys[order])
     np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+@pytest.mark.parametrize("dist", ["uniform", "constant"])
+def test_2d_overlap_keys(mesh2d, dist):
+    """Host-half source-split staged exchange (overlap=True on 2-D)."""
+    n = 8 * 2048
+    keys = datagen.generate_keys(n, seed=45, distribution=dist)
+    got = np.asarray(
+        distributed.sort_sharded(jnp.asarray(keys), mesh2d, overlap=True)
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_2d_overlap_pairs_stable(mesh2d):
+    """Stable KV through two masked staged exchanges + validity merge,
+    with genuine max keys mixed in (the fill-ambiguity case)."""
+    n = 8 * 2048
+    rng = np.random.default_rng(46)
+    keys = (rng.integers(0, 9, n)).astype(np.uint32)
+    keys[rng.random(n) < 0.25] = 0xFFFFFFFF
+    vals = np.arange(n, dtype=np.uint32)
+    k, v = distributed.sort_pairs_sharded(
+        jnp.asarray(keys), jnp.asarray(vals), mesh2d, overlap=True
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_2d_overlap_overflow_adapts():
+    """The masked half staged-exchange inherits the staging-fit contract:
+    a skewed distribution that overflows slack=1 must adapt, not corrupt."""
+    mesh = distributed.make_mesh_2d(2, 4)
+    n = 8 * 1024
+    m = n // 8
+    rng = np.random.default_rng(47)
+    keys = np.full(n, 0xF0000000, np.uint32)
+    keys[0 * m:1 * m] = rng.integers(0, 1000, m).astype(np.uint32)
+    keys[4 * m:5 * m] = rng.integers(0, 1000, m).astype(np.uint32)
+    got = np.asarray(
+        distributed.sort_sharded(jnp.asarray(keys), mesh, overlap=True)
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))
 
 
 def test_2d_ragged_and_count(mesh2d):

@@ -109,8 +109,16 @@ def sort_u32_inplace(buf: np.ndarray) -> np.ndarray:
     reference's CPU timing, bench/cpu_benchmark.cc:22-25)."""
     lib = _load()
     if lib is None:
-        buf.sort(kind="stable")
-        return buf
+        # No NumPy fallback here on purpose: these in-place entries exist
+        # only as timed-region primitives, and numpy's comparison sort on an
+        # already-sorted buffer (timed iterations 2+) is ~125x faster than on
+        # random input — the measurement would be garbage. Only the native
+        # LSD radix is input-order independent. Callers wanting a plain sort
+        # should use sort_u32/sort_pairs_u32 (which do fall back).
+        raise RuntimeError(
+            "sort_u32_inplace requires the native engine; the NumPy "
+            "fallback would invalidate timing (use sort_u32 instead)"
+        )
     lib.vrs_sort_u32(_as_u32p(buf), buf.size)
     return buf
 
@@ -119,10 +127,11 @@ def sort_pairs_u32_inplace(k: np.ndarray, v: np.ndarray):
     """Destructive in-place stable key-value sort of contiguous buffers."""
     lib = _load()
     if lib is None:
-        order = np.argsort(k, kind="stable")
-        k[:] = k[order]
-        v[:] = v[order]
-        return k, v
+        # See sort_u32_inplace: timing-only primitive, no NumPy fallback.
+        raise RuntimeError(
+            "sort_pairs_u32_inplace requires the native engine; the NumPy "
+            "fallback would invalidate timing (use sort_pairs_u32 instead)"
+        )
     lib.vrs_sort_pairs_u32(_as_u32p(k), _as_u32p(v), k.size)
     return k, v
 

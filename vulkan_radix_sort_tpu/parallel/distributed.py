@@ -309,6 +309,54 @@ def _staged_exchange(arrs, sizes_all, in_off, H, C, m, slack, fills):
     return outs, ok
 
 
+def _masked_half_plan(sizes_all, in_off, src_mask, my, n_dev):
+    """Exchange-plan vectors for the source-half sub-exchange.
+
+    `src_mask` ((D,) 0/1) selects the sending sources; receiver offsets are
+    COMPACTED over the masked sources (exclusive cumsum in source-rank
+    order), so each half's arrivals form a contiguous genuine prefix —
+    the property the stable overlap merge relies on (fill can then never
+    precede a genuine element through a stable local sort)."""
+    masked = sizes_all * src_mask[:, None]  # (D src, D dst)
+    dev_ids = jnp.arange(n_dev)[:, None]
+    out_off = jnp.sum(
+        jnp.where(dev_ids < my, masked, 0), axis=0
+    ).astype(jnp.int32)  # (D,) my placement at each dst
+    send = jnp.take(masked, my, axis=0).astype(jnp.int32)  # (D,) my sends
+    recv = masked[:, my].astype(jnp.int32)  # (D,) per-source into me
+    return in_off, send, out_off, recv
+
+
+def _stable_merge_valid(kA, vA, rA, kB, vB, key_value):
+    """Stable merge of two sorted shards whose genuine elements are the
+    first rA / (m - rA) entries (the rest is sentinel fill), A before B on
+    equal keys. Returns the m genuine elements in stable sorted order.
+
+    Positions are the classic merge ranks — for genuine A[i]:
+    i + |genuine B < A[i]|; for genuine B[j]: j + |genuine A <= B[j]|.
+    Fill keys are 0xFFFFFFFF so searchsorted(side='left') never counts
+    them; the side='right' count is clamped to rA, which is exact (only
+    key 0xFFFFFFFF can reach past the genuine prefix, and all rA genuine
+    keys are <= it). Fill entries scatter to the dump slot m (never read).
+    """
+    m = kA.shape[0]
+    rB = m - rA
+    i = jnp.arange(m)
+    posA = i + jnp.searchsorted(kB, kA, side="left").astype(i.dtype)
+    posA = jnp.where(i < rA, posA, m)
+    a_leq = jnp.minimum(
+        jnp.searchsorted(kA, kB, side="right").astype(i.dtype), rA
+    )
+    posB = jnp.where(i < rB, i + a_leq, m)
+    ko = jnp.full((m + 1,), 0xFFFFFFFF, kA.dtype)
+    ko = ko.at[posA].set(kA).at[posB].set(kB)[:m]
+    if not key_value:
+        return ko, None
+    vo = jnp.zeros((m + 1,), vA.dtype)
+    vo = vo.at[posA].set(vA).at[posB].set(vB)[:m]
+    return ko, vo
+
+
 def _bitonic_merge_halves(sA, sB, config, interpret):
     """Merge two ascending-with-sentinel-tail arrays with one bitonic
     cleanup: [A asc | pad | flip(B)] is bitonic (sentinels are the maximum,
@@ -357,11 +405,56 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
         )
         ok = jnp.ones((1,), jnp.int32)
 
+        interpret = bool(config is not None and config.interpret)
+
+        def merge_keys_halves(sA, sB):
+            # both halves are ascending with sentinel tails; one bitonic
+            # merge cleanup yields the m smallest = all real keys (the two
+            # halves hold exactly m real keys total)
+            if use_pallas and 2 * m >= 1024:
+                return _bitonic_merge_halves(sA, sB, config, interpret)
+            return jnp.sort(jnp.concatenate([sA, jnp.flip(sB)]))[:m]
+
         if hier:
             # 4''. two-hop DCN-consolidated exchange (module docstring)
             H, C = mesh.shape[DCN_AXIS], mesh.shape[ICI_AXIS]
             arrs = [ks, vs] if key_value else [ks]
             fills = [0xFFFFFFFF, 0][: len(arrs)]
+            if overlap and H >= 2:
+                # 4'''. source-split by host half: the second half's DCN
+                # hop is independent of the first half's ICI fan-out and
+                # local sort, so the async scheduler can overlap them.
+                # Masked size matrices compact each half's arrivals
+                # (all plan offsets derive from sizes_all), giving the
+                # genuine-prefix property the stable merge needs.
+                hl = H // 2
+                src_h = jnp.arange(n_dev) // C
+                mlo = (src_h < hl).astype(sizes_all.dtype)[:, None]
+                outsA, okA = _staged_exchange(
+                    arrs, sizes_all * mlo, in_off, H, C, m, dcn_slack, fills
+                )
+                outsB, okB = _staged_exchange(
+                    arrs, sizes_all * (1 - mlo), in_off, H, C, m,
+                    dcn_slack, fills
+                )
+                ok = jax.lax.pmin(
+                    (okA & okB).astype(jnp.int32), axis
+                ).reshape(1)
+                my_flat = (jax.lax.axis_index(DCN_AXIS) * C
+                           + jax.lax.axis_index(ICI_AXIS))
+                if key_value:
+                    kA, vA = _local_sort(outsA[0], outsA[1], config,
+                                         use_pallas)
+                    kB, vB = _local_sort(outsB[0], outsB[1], config,
+                                         use_pallas)
+                    rA = (sizes_all * mlo)[:, my_flat].sum().astype(
+                        jnp.int32)
+                    ko, vo = _stable_merge_valid(kA, vA, rA, kB, vB, True)
+                    return ko, vo, ok
+                sA = _local_sort(outsA[0], None, config, use_pallas)
+                sB = _local_sort(outsB[0], None, config, use_pallas)
+                return (merge_keys_halves(sA, sB),
+                        jnp.zeros((0,), jnp.uint32), ok)
             outs, okd = _staged_exchange(
                 arrs, sizes_all, in_off, H, C, m, dcn_slack, fills
             )
@@ -372,33 +465,31 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
             ks3 = _local_sort(outs[0], None, config, use_pallas)
             return ks3, jnp.zeros((0,), jnp.uint32), ok
 
-        if overlap and not key_value and half >= 1:
+        if overlap and half >= 1:
             # 4'. source-split exchange: sources [0, half) first, the rest
             # second; the second collective is independent of the first
             # half's local sort, so XLA's async scheduler can overlap them.
-            src = jnp.arange(n_dev)
-            lo_mask = (src < half).astype(jnp.int32)
             my = jax.lax.axis_index(axis)
-            amL = jnp.where(my < half, 1, 0)
-            amH = 1 - amL
+            mlo = (jnp.arange(n_dev) < half).astype(sizes_all.dtype)
+            planA = _masked_half_plan(sizes_all, in_off, mlo, my, n_dev)
+            planB = _masked_half_plan(sizes_all, in_off, 1 - mlo, my, n_dev)
             sent = jnp.full((m,), 0xFFFFFFFF, jnp.uint32)
-            # offsets of my received-low block: low sources precede high
-            # ones in out_off construction, so low lands at out_off as-is
-            kA = _ragged_a2a(ks, sent, in_off, send * amL, out_off,
-                             recv * lo_mask, n_dev, axis)
-            kB = _ragged_a2a(ks, sent, in_off, send * amH, out_off,
-                             recv * (1 - lo_mask), n_dev, axis)
+            kA = _ragged_a2a(ks, sent, *planA, n_dev, axis)
+            kB = _ragged_a2a(ks, sent, *planB, n_dev, axis)
+            if key_value:
+                zv = jnp.zeros((m,), vs.dtype)
+                vA = _ragged_a2a(vs, zv, *planA, n_dev, axis)
+                vB = _ragged_a2a(vs, zv, *planB, n_dev, axis)
+                kA, vA = _local_sort(kA, vA, config, use_pallas)
+                kB, vB = _local_sort(kB, vB, config, use_pallas)
+                rA = (sizes_all * mlo[:, None])[:, my].sum().astype(
+                    jnp.int32)
+                ko, vo = _stable_merge_valid(kA, vA, rA, kB, vB, True)
+                return ko, vo, ok
             sA = _local_sort(kA, None, config, use_pallas)
             sB = _local_sort(kB, None, config, use_pallas)
-            # both halves are ascending with sentinel tails; one bitonic
-            # merge cleanup yields the m smallest = all real keys (the two
-            # halves hold exactly m real keys total)
-            interpret = bool(config is not None and config.interpret)
-            if use_pallas and 2 * m >= 1024:
-                merged = _bitonic_merge_halves(sA, sB, config, interpret)
-            else:
-                merged = jnp.sort(jnp.concatenate([sA, jnp.flip(sB)]))[:m]
-            return merged, jnp.zeros((0,), jnp.uint32), ok
+            return (merge_keys_halves(sA, sB),
+                    jnp.zeros((0,), jnp.uint32), ok)
 
         # 4. ragged bucket exchange over ICI
         out = jnp.zeros((m,), ks.dtype)
@@ -554,7 +645,8 @@ def sort_sharded(keys, mesh: Mesh, config: SortConfig | None = None,
     A 2-D ("dcn", "ici") mesh (make_mesh_2d) routes the exchange
     hierarchically: one consolidated DCN message per destination host,
     fan-out over ICI; dcn_slack sizes the staging hop (None = adaptive).
-    overlap= currently applies to 1-D meshes only.
+    On 2-D meshes overlap=True source-splits by host half, so the second
+    half's DCN hop can hide behind the first half's fan-out + local sort.
     """
     if use_pallas is None:
         use_pallas = _default_use_pallas(config)
@@ -574,6 +666,7 @@ def sort_sharded(keys, mesh: Mesh, config: SortConfig | None = None,
 def sort_pairs_sharded(keys, values, mesh: Mesh,
                        config: SortConfig | None = None, count=None,
                        use_pallas: bool | None = None,
+                       overlap: bool = False,
                        dcn_slack: int | None = None):
     """Stable distributed key-value sort of any length; values ride a second
     ragged exchange as a separate 32-bit buffer (reference README.md:60).
@@ -585,12 +678,19 @@ def sort_pairs_sharded(keys, values, mesh: Mesh,
     On a 2-D ("dcn", "ici") mesh both buffers ride the hierarchical
     two-hop exchange; hop-B rounds keep flat source-rank order, so the
     final stable re-sort preserves global stability exactly as on 1-D.
+
+    overlap=True source-splits the exchange (by device half on 1-D meshes,
+    by host half on 2-D) so the second half's collective can hide behind
+    the first half's local sort. Stability holds: each half's arrivals are
+    compacted (genuine elements form a contiguous prefix that a stable
+    local sort preserves, fill keys being the maximum), and the final
+    merge places lower-ranked sources first on equal keys.
     """
     if use_pallas is None:
         use_pallas = _default_use_pallas(config)
     c = jnp.uint32(0) if count is None else jnp.uint32(count)
     return _run_with_slack(
         keys, values, c, mesh=mesh, config=config, key_value=True,
-        use_pallas=use_pallas, overlap=False, has_count=count is not None,
+        use_pallas=use_pallas, overlap=overlap, has_count=count is not None,
         dcn_slack=dcn_slack,
     )
