@@ -163,3 +163,41 @@ def test_pairs_nonstable_max_keys_and_values():
     order = np.lexsort((vals, keys))
     np.testing.assert_array_equal(np.asarray(k), keys[order])
     np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_big_n_stable_fallback_mode(rng, monkeypatch):
+    """MODE_STABLE — the n > MAX_PACKED_N stable-KV fallback (plain
+    (key, idx, value) carry) — forced at small n via the overridable
+    threshold. Duplicates + genuine max keys stress the _stable_idx
+    tie-break against the stable oracle (bench/cpu_benchmark.cc:33-49)."""
+    monkeypatch.setattr(bitonic, "MAX_PACKED_N", 1 << 10)
+    n = (1 << 12) + 57
+    keys = rng.integers(0, 17, size=n).astype(np.uint32)
+    keys[rng.random(n) < 0.1] = 0xFFFFFFFF
+    vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    k, v = bitonic.sort_pairs_u32.__wrapped__(
+        jnp.asarray(keys), jnp.asarray(vals), chunk=1 << 10, interpret=True
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_big_n_w4_fallback_mode(rng, monkeypatch):
+    """MODE_W4_BIG — the n > MAX_PACKED_N stable 64-bit-KV fallback
+    ((hi, lo, idx, value) carry) — forced at small n."""
+    monkeypatch.setattr(bitonic, "MAX_PACKED_N", 1 << 10)
+    n = (1 << 11) + 13
+    full = rng.integers(0, 5, size=n, dtype=np.uint64) << 32
+    full |= rng.integers(0, 3, size=n, dtype=np.uint64)
+    vals = np.arange(n, dtype=np.uint32)
+    hi = (full >> 32).astype(np.uint32)
+    lo = (full & 0xFFFFFFFF).astype(np.uint32)
+    h, l, v = bitonic.sort_pairs_w64.__wrapped__(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(vals),
+        chunk=1 << 10, interpret=True
+    )
+    order = np.argsort(full, kind="stable")
+    got = (np.asarray(h).astype(np.uint64) << 32) | np.asarray(l)
+    np.testing.assert_array_equal(got, full[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])

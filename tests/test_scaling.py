@@ -42,3 +42,34 @@ def test_dcn_report_fields_and_traffic():
     # it rides hop B; both bounded by the total volume
     assert 0 < rep["dcn_bytes"] <= rep["hop_b_ici_bytes"] == 8 * 2048 * 4
     assert rep["full_s"] > 0
+
+
+def test_phase_report_rejects_2d_mesh():
+    from vulkan_radix_sort_tpu.parallel import distributed, scaling
+
+    mesh = distributed.make_mesh_2d(2, 4)
+    with pytest.raises(ValueError, match="dcn_report"):
+        scaling.phase_report(mesh, 8 * 512, iters=1)
+
+
+def test_dcn_report_rejects_overflowing_slack():
+    """A distribution that overflows hop-A staging at the given slack must
+    raise instead of timing zeroed no-op hops."""
+    import numpy as np
+
+    from vulkan_radix_sort_tpu.parallel import distributed, scaling
+
+    mesh = distributed.make_mesh_2d(2, 4)
+    n = 8 * 1024
+    m = n // 8
+    rng = np.random.default_rng(48)
+    keys = np.full(n, 0xF0000000, np.uint32)
+    keys[0 * m:1 * m] = rng.integers(0, 1000, m).astype(np.uint32)
+    keys[4 * m:5 * m] = rng.integers(0, 1000, m).astype(np.uint32)
+    import unittest.mock as mock
+
+    from vulkan_radix_sort_tpu.utils import datagen
+
+    with mock.patch.object(datagen, "generate_keys", lambda *a, **k: keys):
+        with pytest.raises(ValueError, match="dcn_slack"):
+            scaling.dcn_report(mesh, n, dcn_slack=1, iters=1)

@@ -254,3 +254,55 @@ class TestNonStableKV:
             vrs.create_sorter(max_n=256, config=SortConfig(), backend="xla")
         with pytest.raises(TypeError):
             vrs.create_sorter(max_n=256, bogus_option=1)
+
+
+class TestStageObservability:
+    """Per-kernel stage timing for every carry mode (VERDICT r2 #6: the
+    reference measures its shipped program per-pass, h.in:39-50; the
+    network analogs must cover the KV and w64 modes, not just keys)."""
+
+    @pytest.mark.slow
+    def test_sort_key_value_timed_packed(self, rng):
+        import jax
+        n = 3000
+        s = vrs.create_sorter(
+            max_n=n, config=SortConfig(backend="network", chunk=1 << 10,
+                                       interpret=True)
+        )
+        keys = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        vals = np.arange(n, dtype=np.uint32)
+        t = s.sort_key_value_timed(jnp.asarray(keys), jnp.asarray(vals),
+                                   iters=3)
+        assert t.extra["mode"] == "packed"
+        assert t.total_ns > 0 and t.upsweep_ns > 0
+        assert len(t.extra["kernels"]) >= 2
+
+    def test_sort_key_value_timed_nonstable(self, rng):
+        n = 1500
+        s = vrs.create_sorter(
+            max_n=n, config=SortConfig(backend="network", chunk=1 << 10,
+                                       interpret=True)
+        )
+        keys = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        vals = np.arange(n, dtype=np.uint32)
+        t = s.sort_key_value_timed(jnp.asarray(keys), jnp.asarray(vals),
+                                   stable=False, iters=3)
+        assert t.extra["mode"] == "pairs"
+
+    @pytest.mark.slow
+    def test_sort_key_value_timed_w64(self, rng):
+        import jax
+        n = 2000
+        with jax.enable_x64(True):
+            s = vrs.create_sorter(
+                max_n=n, key_dtype=jnp.uint64,
+                config=SortConfig(backend="network", chunk=1 << 10,
+                                  interpret=True),
+            )
+            keys = rng.integers(0, 2**64, n, dtype=np.uint64)
+            vals = np.arange(n, dtype=np.uint32)
+            t = s.sort_key_value_timed(jnp.asarray(keys), jnp.asarray(vals),
+                                       iters=3)
+            assert t.extra["mode"] == "w4"
+            t2 = s.sort_timed(jnp.asarray(keys), iters=3)
+            assert t2.extra["mode"] == "pairs"  # wide keys = word-pair sort

@@ -430,8 +430,21 @@ class Sorter:
             self._sort_fn, keys, iters=max(3, iters // 3)
         ) * 1e9
         if self.wide:
-            # 64-bit keys: whole-sort timing only (the word-pair pipeline
-            # has no per-stage decomposition exposed)
+            if self.backend == "network":
+                # the wide keys-only pipeline is a non-stable (hi, lo)
+                # word-pair sort (MODE_PAIRS); split eagerly, then time
+                # per-kernel with x64 off exactly as the pipeline traces
+                self._require_x64()
+                hi, lo = bitops.split_u64(self._encode(keys))
+                with jax.enable_x64(False):
+                    stage = bitonic.stage_times_pairs(
+                        hi, lo, chunk=self.config.chunk, iters=iters,
+                        stable=False, interpret=self.config.interpret,
+                    )
+                t.upsweep_ns = stage["chunk"] * 1e9
+                t.spine_ns = stage["cross"] * 1e9
+                t.downsweep_ns = stage["local"] * 1e9
+                t.extra = stage
             return t
         if self.backend == "radix":
             stage = radix.stage_times(self._encode(keys), self.config, iters=iters)
@@ -451,6 +464,41 @@ class Sorter:
             t.spine_ns = stage["cross"] * 1e9
             t.downsweep_ns = stage["local"] * 1e9
             t.extra = stage
+        return t
+
+    def sort_key_value_timed(self, keys, values, stable: bool = True,
+                             iters: int = 10) -> StageTimes:
+        """Per-stage timing for the key-value pipelines (the -DKEY_VALUE
+        timestamp analog, h.in:39-50) — covers the packed-lazy stable
+        carry, the non-stable pair carry, the big-n fallback, and the
+        64-bit (w3/w4) word modes; `extra["mode"]` names which one ran."""
+        self._check(keys, values)
+        fn = self._sort_pairs_fn if stable else self._sort_pairs_unstable_fn
+        t = StageTimes()
+        t.cpu_ns = time_fn(fn, keys, values, iters=iters) * 1e9
+        t.total_ns = marginal_time(
+            fn, keys, values, iters=max(3, iters // 3)
+        ) * 1e9
+        if self.backend_kv != "network":
+            return t
+        cfg = self.config
+        if self.wide:
+            self._require_x64()
+            hi, lo = bitops.split_u64(self._encode(keys))
+            with jax.enable_x64(False):
+                stage = bitonic.stage_times_w64(
+                    hi, lo, values, chunk=cfg.chunk, iters=iters,
+                    stable=stable, interpret=cfg.interpret,
+                )
+        else:
+            stage = bitonic.stage_times_pairs(
+                self._encode(keys), values, chunk=cfg.chunk, iters=iters,
+                stable=stable, interpret=cfg.interpret,
+            )
+        t.upsweep_ns = stage["chunk"] * 1e9
+        t.spine_ns = stage["cross"] * 1e9
+        t.downsweep_ns = stage["local"] * 1e9
+        t.extra = stage
         return t
 
 

@@ -64,6 +64,7 @@ unsigned vector min/max); the flip is undone on store.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -82,16 +83,18 @@ IDX_MASK = np.int32(~(LANES - 1))
 # largest n for which (original index << 7 | lane origin) fits 32 bits with
 # padding sentinels (0xffffffff) still strictly above every genuine aux:
 # at n == 2^25 exactly the padded size equals n, so no sentinels exist and
-# the top aux value is free to be used by the last element
-MAX_PACKED_N = 1 << 25
+# the top aux value is free to be used by the last element.
+# VRS_MAX_PACKED_N lowers the threshold so the big-n fallback modes
+# (MODE_STABLE / MODE_W4_BIG) can be exercised at small n in tests; tests
+# may also monkeypatch the module global (use a unique (n, chunk) pair —
+# the jit cache is keyed on shapes + static args, not on this global).
+MAX_PACKED_N = int(_os.environ.get("VRS_MAX_PACKED_N", 1 << 25))
 
 # stage budget per emitted kernel, by carried-array count (multi-array
 # kernels cost ~2-4x the ops per stage so they get proportionally smaller
 # budgets). Compile time per kernel grows superlinearly with the budget, but
 # with the persistent compilation cache (config.enable_compilation_cache)
 # that cost is paid once per kernel shape, so the budgets are env-tunable.
-import os as _os
-
 MAX_GROUP_STAGES = int(_os.environ.get("VRS_MAX_GROUP_STAGES", 96))
 MAX_GROUP_STAGES_KV = int(_os.environ.get("VRS_MAX_GROUP_STAGES_KV", 40))
 MAX_GROUP_STAGES_PAIRS = int(_os.environ.get("VRS_MAX_GROUP_STAGES_PAIRS", 64))
@@ -125,6 +128,14 @@ T_MODES = _os.environ.get("VRS_T_MODES", "noride")
 # than a single-tile transpose in the HBM-pass probe); pick per
 # tools/probes/probe_transpose_slope.py on the target chip generation.
 T_IMPL = _os.environ.get("VRS_T_IMPL", "batched")
+# single-array (keys) CE formulation: "dep" rolls the pair-max back by +sh
+# after the min/max (one roll on the stage's critical tail), "indep" uses
+# the identity max(x[i], x[i-sh]) == max(x, roll(x,+sh))[i] so both rolls
+# are independent of the min/max and can overlap (tools/probes/
+# ce_variants.py prices the two on the target chip). Same op count either
+# way; multi-word carries keep "dep" — "indep" would need the i1 lex
+# decision vector at both +sh and -sh alignments (a second full compare).
+CE_IMPL = _os.environ.get("VRS_CE_IMPL", "dep")
 
 
 def _budget(na: int) -> int:
@@ -159,6 +170,16 @@ MODE_PACKED = _Mode(2, True, True)      # (k, aux, v) — fast stable kv
 MODE_W3 = _Mode(3, False, False)        # (hi, lo, v) — non-stable u64 kv
 MODE_W4 = _Mode(3, True, True)          # (hi, lo, aux, v) — stable u64 kv
 MODE_W4_BIG = _Mode(3, True, False)     # (hi, lo, idx, v) — n > 2^25
+
+MODE_NAMES = {
+    MODE_KEYS: "keys",
+    MODE_PAIRS: "pairs",
+    MODE_STABLE: "stable",
+    MODE_PACKED: "packed",
+    MODE_W3: "w3",
+    MODE_W4: "w4",
+    MODE_W4_BIG: "w4_big",
+}
 
 
 def _log2(n: int) -> int:
@@ -205,6 +226,12 @@ def _ce(arrs, ncmp, axis, sh, up):
     """
     if len(arrs) == 1:
         (x,) = arrs
+        if CE_IMPL == "indep":
+            # both rolls independent of the min/max — the VPU can overlap
+            # them (variant B, tools/probes/ce_variants.py)
+            lo = jnp.minimum(x, _roll(x, -sh, axis=axis))
+            hi = jnp.maximum(x, _roll(x, sh, axis=axis))
+            return (jnp.where(up, lo, hi),)
         pm = _roll(x, -sh, axis=axis)  # partner for 'up' slots: x[i+j]
         mn = jnp.minimum(x, pm)
         mx = jnp.maximum(x, pm)
@@ -796,6 +823,91 @@ def _stable_idx(n, np2):
     return idx.reshape(np2 // LANES, LANES)
 
 
+def _stage_times_impl(arrs, mode, n, np2, C, iters, interpret) -> dict:
+    """Mode-generic per-kernel timing core shared by stage_times*."""
+    from ..utils.timing import marginal_time
+
+    def time_fn(f, xs):
+        return marginal_time(f, *xs, k1=2, k2=12, iters=max(3, iters // 3),
+                             min_delta=0.02)
+
+    def _untuple(res):
+        # marginal_time chains fn through a fori_loop carry: a single-array
+        # stage must return the bare array, multi-array stages a tuple
+        return res[0] if len(res) == 1 else tuple(res)
+
+    nrounds = _log2(np2 // C)
+    lc = _log2(C)
+    na = mode.n_arrays
+    budget = _budget(na)
+    # mirror the real pipeline: skip pure-sentinel padding blocks
+    rr = _cdiv(n, LANES)
+
+    # `kernels` records each emitted pallas_call (the dispatch unit — the
+    # honest analog of the reference's per-dispatch timestamps,
+    # h.in:39-50) with its own measured time, no attribution guesswork.
+    kernels = []
+
+    t_chunk = 0.0
+    for group in _phase_groups(lc, budget):
+        f_g = jax.jit(
+            lambda *xs, a_=group[0], b_=group[-1]: _untuple(_block_call(
+                lambda *refs: _chunk_phases_body(C, a_, b_, mode, refs),
+                list(xs), C // LANES, interpret, rr,
+            ))
+        )
+        t = time_fn(f_g, arrs)
+        kernels.append((f"chunk[p{group[0]}-{group[-1]}]", t))
+        t_chunk += t
+        arrs = jax.tree.leaves(f_g(*arrs))
+
+    t_cross = t_local = 0.0
+    plan, r_next = _fused_round_plan(C, nrounds, na, budget)
+    for r_lo, r_hi in plan:
+        f_f = jax.jit(
+            lambda *xs, a_=r_lo, b_=r_hi: _untuple(_run_fused_rounds(
+                list(xs), C, a_, b_, mode, interpret, rr
+            ))
+        )
+        t = time_fn(f_f, arrs)
+        kernels.append((f"fused[r{r_lo}-{r_hi}]", t))
+        # a fused kernel runs both the cross and the local stages of rounds
+        # r_lo..r_hi back to back; the 3-bucket summary attributes its time
+        # by stage count (documented estimate; `kernels` has the exact
+        # per-dispatch measurement)
+        cross_stages = sum(range(r_lo, r_hi + 1))
+        local_stages = (r_hi - r_lo + 1) * lc
+        t_cross += t * cross_stages / (cross_stages + local_stages)
+        t_local += t * local_stages / (cross_stages + local_stages)
+        arrs = jax.tree.leaves(f_f(*arrs))
+    for r in range(r_next, nrounds + 1):
+        f_cross = jax.jit(
+            lambda *xs, r=r: _untuple(_run_cross(list(xs), C, r, mode,
+                                                 interpret, rr))
+        )
+        t = time_fn(f_cross, arrs)
+        kernels.append((f"cross[r{r}]", t))
+        t_cross += t
+        arrs = jax.tree.leaves(f_cross(*arrs))
+        f_local = jax.jit(
+            lambda *xs, r=r: _untuple(_run_local(list(xs), C, r, mode,
+                                                 interpret, rr))
+        )
+        t = time_fn(f_local, arrs)
+        kernels.append((f"local[r{r}]", t))
+        t_local += t
+        arrs = jax.tree.leaves(f_local(*arrs))
+
+    return {
+        "chunk": t_chunk,
+        "cross": t_cross,
+        "local": t_local,
+        "rounds": nrounds,
+        "mode": MODE_NAMES[mode],
+        "kernels": kernels,
+    }
+
+
 def stage_times(keys, chunk: int = 1 << 16, iters: int = 10,
                 interpret: bool = False) -> dict:
     """Per-stage seconds — the 15-timestamp analog (reference h.in:39-50).
@@ -807,82 +919,54 @@ def stage_times(keys, chunk: int = 1 << 16, iters: int = 10,
     sub-ms stages) divides out; the first call per stage compiles a
     chained program (cached persistently thereafter).
     """
-    from ..utils.timing import marginal_time
-
-    def time_fn(f, x, iters=iters):
-        return marginal_time(f, x, k1=2, k2=12, iters=max(3, iters // 3),
-                             min_delta=0.02)
-
     n = keys.shape[0]
     np2, C = _plan(n, chunk)
-    arrs0 = [_pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF)]
-    nrounds = _log2(np2 // C)
-    lc = _log2(C)
-    mode = MODE_KEYS
-    # mirror the real pipeline: skip pure-sentinel padding blocks
-    rr = _cdiv(n, LANES)
+    arrs = [_pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF)]
+    return _stage_times_impl(arrs, MODE_KEYS, n, np2, C, iters, interpret)
 
-    # `kernels` records each emitted pallas_call (the dispatch unit — the
-    # honest analog of the reference's per-dispatch timestamps,
-    # h.in:39-50) with its own measured time, no attribution guesswork.
-    kernels = []
 
-    a = arrs0[0]
-    t_chunk = 0.0
-    for group in _phase_groups(lc, _budget(1)):
-        f_g = jax.jit(
-            lambda x, a_=group[0], b_=group[-1]: _block_call(
-                lambda *refs: _chunk_phases_body(C, a_, b_, mode, refs),
-                [x], C // LANES, interpret, rr,
-            )[0]
-        )
-        t = time_fn(f_g, a, iters=iters)
-        kernels.append((f"chunk[p{group[0]}-{group[-1]}]", t))
-        t_chunk += t
-        a = f_g(a)
+def stage_times_pairs(keys, values, chunk: int = 1 << 16, iters: int = 10,
+                      stable: bool = True, interpret: bool = False) -> dict:
+    """stage_times for the key-value modes (the reference's -DKEY_VALUE
+    pipeline, downsweep.slang:203-224): MODE_PACKED (packed-lazy carry,
+    n <= MAX_PACKED_N), MODE_STABLE (plain index carry above), or
+    MODE_PAIRS (stable=False two-array lexicographic)."""
+    n = keys.shape[0]
+    np2, C = _plan(n, chunk)
+    k = _pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF)
+    if not stable:
+        v = _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0xFFFFFFFF)
+        return _stage_times_impl([k, v], MODE_PAIRS, n, np2, C, iters,
+                                 interpret)
+    v = _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0)
+    if n <= MAX_PACKED_N:
+        arrs, mode = [k, _packed_aux(n, np2), v], MODE_PACKED
+    else:
+        arrs, mode = [k, _stable_idx(n, np2), v], MODE_STABLE
+    return _stage_times_impl(arrs, mode, n, np2, C, iters, interpret)
 
-    t_cross = t_local = 0.0
-    plan, r_next = _fused_round_plan(C, nrounds, 1, MAX_GROUP_STAGES)
-    for r_lo, r_hi in plan:
-        f_f = jax.jit(
-            lambda x, a_=r_lo, b_=r_hi: _run_fused_rounds(
-                [x], C, a_, b_, mode, interpret, rr
-            )[0]
-        )
-        t = time_fn(f_f, a, iters=iters)
-        kernels.append((f"fused[r{r_lo}-{r_hi}]", t))
-        # a fused kernel runs both the cross and the local stages of rounds
-        # r_lo..r_hi back to back; the 3-bucket summary attributes its time
-        # by stage count (documented estimate; `kernels` has the exact
-        # per-dispatch measurement)
-        cross_stages = sum(range(r_lo, r_hi + 1))
-        local_stages = (r_hi - r_lo + 1) * lc
-        t_cross += t * cross_stages / (cross_stages + local_stages)
-        t_local += t * local_stages / (cross_stages + local_stages)
-        a = f_f(a)
-    for r in range(r_next, nrounds + 1):
-        f_cross = jax.jit(
-            lambda x, r=r: _run_cross([x], C, r, mode, interpret, rr)[0]
-        )
-        t = time_fn(f_cross, a, iters=iters)
-        kernels.append((f"cross[r{r}]", t))
-        t_cross += t
-        a = f_cross(a)
-        f_local = jax.jit(
-            lambda x, r=r: _run_local([x], C, r, mode, interpret, rr)[0]
-        )
-        t = time_fn(f_local, a, iters=iters)
-        kernels.append((f"local[r{r}]", t))
-        t_local += t
-        a = f_local(a)
 
-    return {
-        "chunk": t_chunk,
-        "cross": t_cross,
-        "local": t_local,
-        "rounds": nrounds,
-        "kernels": kernels,
-    }
+def stage_times_w64(hi, lo, values=None, chunk: int = 1 << 16,
+                    iters: int = 10, stable: bool = True,
+                    interpret: bool = False) -> dict:
+    """stage_times for the 64-bit (hi, lo) word-plane modes: MODE_W3
+    (stable=False or keys-only), MODE_W4 (packed stable carry), or
+    MODE_W4_BIG (plain index carry above MAX_PACKED_N)."""
+    n = hi.shape[0]
+    np2, C = _plan(n, chunk)
+    h = _pad_pow2(jnp.asarray(hi, jnp.uint32), np2, 0xFFFFFFFF)
+    l = _pad_pow2(jnp.asarray(lo, jnp.uint32), np2, 0xFFFFFFFF)
+    if values is None or not stable:
+        v = (jnp.zeros_like(h) if values is None else
+             _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0xFFFFFFFF))
+        return _stage_times_impl([h, l, v], MODE_W3, n, np2, C, iters,
+                                 interpret)
+    v = _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0)
+    if n <= MAX_PACKED_N:
+        arrs, mode = [h, l, _packed_aux(n, np2), v], MODE_W4
+    else:
+        arrs, mode = [h, l, _stable_idx(n, np2), v], MODE_W4_BIG
+    return _stage_times_impl(arrs, mode, n, np2, C, iters, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))

@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SortConfig
 from ..utils.timing import marginal_time
@@ -45,6 +46,11 @@ def _stage_fns(mesh, config, use_pallas, overlap, m):
     cuts, negative ragged sizes). The caller subtracts the separately
     chained re-sort time; the local sort is a distribution-oblivious
     network, so its cost is identical either way."""
+    if D.AXIS not in mesh.shape:
+        raise ValueError(
+            "phase_report measures 1-D ('x') meshes; use dcn_report for a "
+            f"hierarchical ('dcn', 'ici') mesh (got axes {mesh.axis_names})"
+        )
     n_dev = mesh.shape[D.AXIS]
     spec = jax.sharding.PartitionSpec(D.AXIS)
     targets = (jnp.arange(1, n_dev) * m).astype(jnp.int32)
@@ -84,6 +90,11 @@ def phase_report(mesh, n: int, config: SortConfig | None = None,
 
     if use_pallas is None:
         use_pallas = D._default_use_pallas(config)
+    if D.AXIS not in mesh.shape:
+        raise ValueError(
+            "phase_report measures 1-D ('x') meshes; use dcn_report for a "
+            f"hierarchical ('dcn', 'ici') mesh (got axes {mesh.axis_names})"
+        )
     n_dev = mesh.shape[D.AXIS]
     assert n % n_dev == 0, "use a mesh-multiple n for the phase report"
     m = n // n_dev
@@ -184,13 +195,25 @@ def dcn_report(mesh2d, n: int, config: SortConfig | None = None,
     f_exch = smap(staged_exchange_shard)
     f_exch_sort = smap(exch_sort_shard)
     # time the internal fixed-slack entry: the public wrapper's adaptive
-    # retry needs a concrete fit flag, which a timing jit cannot provide
-    full = jax.jit(lambda k: D._sort_entry(
-        k, jnp.zeros_like(k), jnp.uint32(0), mesh=mesh2d, config=config,
-        key_value=False, use_pallas=use_pallas, overlap=False,
-        has_count=False, dcn_slack=dcn_slack,
-    )[0])
+    # retry needs a concrete fit flag, which a timing jit cannot provide —
+    # so run the program once first and check the flag ourselves; timing a
+    # staging-overflowed pipeline would measure zeroed no-op hops.
+    def _entry(k):
+        return D._sort_entry(
+            k, jnp.zeros_like(k), jnp.uint32(0), mesh=mesh2d, config=config,
+            key_value=False, use_pallas=use_pallas, overlap=False,
+            has_count=False, dcn_slack=dcn_slack,
+        )
 
+    full = jax.jit(lambda k: _entry(k)[0])
+
+    ok = jax.jit(lambda k: _entry(k)[2])(keys)
+    if not bool(np.asarray(ok)[0]):
+        raise ValueError(
+            f"dcn_slack={dcn_slack} staging overflows for this distribution;"
+            " rerun dcn_report with a larger dcn_slack (timing the"
+            " overflowed program would measure zeroed no-op hops)"
+        )
     t_local = marginal_time(f_local, keys, iters=iters)
     sorted_keys = f_local(keys)
     exchanged = f_exch(sorted_keys)  # one application for the resort input
