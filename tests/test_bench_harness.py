@@ -56,7 +56,7 @@ def test_stage_split_interpret():
     from vulkan_radix_sort_tpu.bench.__main__ import print_stage_split
 
     st = print_stage_split("network", steps=4, iters=1, interpret=True,
-                           n=1 << 11)
+                           n=1 << 10)
     assert set(st) >= {"chunk", "cross", "local", "rounds"}
     assert st["chunk"] > 0
 

@@ -57,7 +57,7 @@ def test_pairs_stable(dist):
 @pytest.mark.parametrize("dist", ["uniform", "few"])
 def test_pairs_stable_small(dist):
     """Fast-gate variant of test_pairs_stable (small n, multiple rounds)."""
-    n = (1 << 12) + 311
+    n = (1 << 11) + 311
     keys = datagen.generate_keys(n, seed=4, distribution=dist)
     vals = np.arange(n, dtype=np.uint32)
     k, v = bitonic.sort_pairs_u32(
@@ -70,12 +70,12 @@ def test_pairs_stable_small(dist):
 
 def test_pairs_sentinel_keys(rng):
     """Genuine 0xffffffff keys must sort ahead of the pad sentinels."""
-    n = 5000
+    n = 1500
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
     keys[::3] = 0xFFFFFFFF
     vals = np.arange(n, dtype=np.uint32)
     k, v = bitonic.sort_pairs_u32(
-        jnp.asarray(keys), jnp.asarray(vals), chunk=CHUNK, interpret=True
+        jnp.asarray(keys), jnp.asarray(vals), chunk=1 << 10, interpret=True
     )
     order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(np.asarray(k), keys[order])
@@ -109,6 +109,7 @@ def test_pairs_nonstable(dist, n):
     np.testing.assert_array_equal(np.asarray(v), vals[order])
 
 
+@pytest.mark.slow  # opt-in engine path, chip-gated decision (VRS_TRANSPOSE)
 def test_transposed_layout_chunk(rng, monkeypatch):
     """chunk >= 2^14 engages the 128x128 tile-transpose layout that
     sublane-executes each run's bits 6..0 tail; single-chunk keys sort
@@ -171,7 +172,7 @@ def test_big_n_stable_fallback_mode(rng, monkeypatch):
     threshold. Duplicates + genuine max keys stress the _stable_idx
     tie-break against the stable oracle (bench/cpu_benchmark.cc:33-49)."""
     monkeypatch.setattr(bitonic, "MAX_PACKED_N", 1 << 10)
-    n = (1 << 12) + 57
+    n = (1 << 11) + 57
     keys = rng.integers(0, 17, size=n).astype(np.uint32)
     keys[rng.random(n) < 0.1] = 0xFFFFFFFF
     vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
@@ -186,8 +187,8 @@ def test_big_n_stable_fallback_mode(rng, monkeypatch):
 def test_big_n_w4_fallback_mode(rng, monkeypatch):
     """MODE_W4_BIG — the n > MAX_PACKED_N stable 64-bit-KV fallback
     ((hi, lo, idx, value) carry) — forced at small n."""
-    monkeypatch.setattr(bitonic, "MAX_PACKED_N", 1 << 10)
-    n = (1 << 11) + 13
+    monkeypatch.setattr(bitonic, "MAX_PACKED_N", 1 << 9)
+    n = (1 << 10) + 13
     full = rng.integers(0, 5, size=n, dtype=np.uint64) << 32
     full |= rng.integers(0, 3, size=n, dtype=np.uint64)
     vals = np.arange(n, dtype=np.uint32)
@@ -195,9 +196,93 @@ def test_big_n_w4_fallback_mode(rng, monkeypatch):
     lo = (full & 0xFFFFFFFF).astype(np.uint32)
     h, l, v = bitonic.sort_pairs_w64.__wrapped__(
         jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(vals),
-        chunk=1 << 10, interpret=True
+        chunk=1 << 9, interpret=True
     )
     order = np.argsort(full, kind="stable")
     got = (np.asarray(h).astype(np.uint64) << 32) | np.asarray(l)
     np.testing.assert_array_equal(got, full[order])
     np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_merge_slots_keys(rng):
+    """merge_slots_u32: 2^k sorted ragged runs in aligned slots (incl. an
+    empty and a full slot) finish with merge rounds only."""
+    n_slots, S = 8, 512
+    sizes = rng.integers(0, S + 1, n_slots)
+    sizes[2], sizes[5] = 0, S
+    buf = np.full((n_slots, S), 0xFFFFFFFF, np.uint32)
+    runs = []
+    for s in range(n_slots):
+        g = np.sort(
+            rng.integers(0, 2**32, sizes[s], dtype=np.uint64).astype(np.uint32)
+        )
+        buf[s, : sizes[s]] = g
+        runs.append(g)
+    allk = np.concatenate(runs)
+    got = np.asarray(
+        bitonic.merge_slots_u32.__wrapped__(
+            jnp.asarray(buf.reshape(-1)), slot=S, chunk=1 << 10,
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got[: len(allk)], np.sort(allk))
+
+
+def test_merge_slots_pairs_stable(rng):
+    """Stable slot merge: heavy duplicates + genuine 0xFFFFFFFF keys; the
+    tiebreak is (slot, intra-slot position) — the distributed resort's
+    (source rank, intra-source order) stability contract."""
+    n_slots, S = 4, 512
+    sizes = np.array([400, 0, 512, 137])
+    kbuf = np.full((n_slots, S), 0xFFFFFFFF, np.uint32)
+    vbuf = np.zeros((n_slots, S), np.uint32)
+    runs_k, runs_v, vc = [], [], 0
+    for s in range(n_slots):
+        g = rng.integers(0, 7, sizes[s]).astype(np.uint32) * 0x20000000
+        g[g == 0xC0000000] = 0xFFFFFFFF  # genuine max keys
+        g = np.sort(g)
+        v = np.arange(vc, vc + sizes[s], dtype=np.uint32)
+        vc += sizes[s]
+        kbuf[s, : sizes[s]] = g
+        vbuf[s, : sizes[s]] = v
+        runs_k.append(g)
+        runs_v.append(v)
+    allk, allv = np.concatenate(runs_k), np.concatenate(runs_v)
+    perm = np.argsort(allk, kind="stable")
+    gk, gv = bitonic.merge_slots_pairs.__wrapped__(
+        jnp.asarray(kbuf.reshape(-1)), jnp.asarray(vbuf.reshape(-1)),
+        jnp.asarray(sizes.astype(np.int32)), slot=S, chunk=1 << 10,
+        interpret=True,
+    )
+    m = len(allk)
+    np.testing.assert_array_equal(np.asarray(gk)[:m], allk[perm])
+    np.testing.assert_array_equal(np.asarray(gv)[:m], allv[perm])
+
+
+def test_merge_slots_pairs_big_n_mode(rng, monkeypatch):
+    """Above MAX_PACKED_N the slot merge switches to the plain-index
+    MODE_STABLE carry; force it at small n via the threshold."""
+    monkeypatch.setattr(bitonic, "MAX_PACKED_N", 1 << 9)
+    n_slots, S = 4, 512  # n = 2048 > threshold
+    sizes = np.array([512, 300, 17, 444])
+    kbuf = np.full((n_slots, S), 0xFFFFFFFF, np.uint32)
+    vbuf = np.zeros((n_slots, S), np.uint32)
+    runs_k, runs_v, vc = [], [], 0
+    for s in range(n_slots):
+        g = np.sort(rng.integers(0, 5, sizes[s]).astype(np.uint32))
+        v = np.arange(vc, vc + sizes[s], dtype=np.uint32)
+        vc += sizes[s]
+        kbuf[s, : sizes[s]] = g
+        vbuf[s, : sizes[s]] = v
+        runs_k.append(g)
+        runs_v.append(v)
+    allk, allv = np.concatenate(runs_k), np.concatenate(runs_v)
+    perm = np.argsort(allk, kind="stable")
+    gk, gv = bitonic.merge_slots_pairs.__wrapped__(
+        jnp.asarray(kbuf.reshape(-1)), jnp.asarray(vbuf.reshape(-1)),
+        jnp.asarray(sizes.astype(np.int32)), slot=S, chunk=1 << 9,
+        interpret=True,
+    )
+    m = len(allk)
+    np.testing.assert_array_equal(np.asarray(gk)[:m], allk[perm])
+    np.testing.assert_array_equal(np.asarray(gv)[:m], allv[perm])

@@ -384,3 +384,111 @@ def test_2d_pallas_engine_under_shard_map():
         )
     )
     np.testing.assert_array_equal(got, np.sort(keys))
+
+
+class TestMergeResort:
+    """Slotted exchange + merge-rounds-only re-sort (sort_sharded
+    merge_resort=) — the distributed fast path exploiting that arrivals
+    are one sorted run per source."""
+
+    def _cfg(self):
+        from vulkan_radix_sort_tpu.config import SortConfig
+
+        return SortConfig(chunk=1 << 10, interpret=True)
+
+    def test_keys(self, mesh):
+        n = 8 * 2048
+        keys = datagen.generate_keys(n, seed=31)
+        got = np.asarray(
+            distributed.sort_sharded(
+                jnp.asarray(keys), mesh, config=self._cfg(),
+                use_pallas=True, merge_resort=True,
+            )
+        )
+        np.testing.assert_array_equal(got, np.sort(keys))
+
+    @pytest.mark.slow
+    def test_pairs_stable_duplicates(self, mesh):
+        n = 8 * 1024
+        keys = (datagen.generate_keys(n, seed=32) & 0xF) * 0x11111111
+        vals = np.arange(n, dtype=np.uint32)
+        k, v = distributed.sort_pairs_sharded(
+            jnp.asarray(keys), jnp.asarray(vals), mesh, config=self._cfg(),
+            use_pallas=True, merge_resort=True,
+        )
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(np.asarray(k), keys[order])
+        np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+    def test_ragged_n_and_count(self, mesh):
+        """Padding + count sentinels all route to the LAST destination's
+        slot from the tail source(s), so the masked suffix must stay
+        under the slot size for the merge path to fit (bigger masks
+        auto-fall back — test_auto_fallback_on_skew)."""
+        n = 8 * 1024 - 37
+        m = n - 100
+        keys = datagen.generate_keys(n, seed=33)
+        got = np.asarray(
+            distributed.sort_sharded(
+                jnp.asarray(keys), mesh, config=self._cfg(),
+                use_pallas=True, merge_resort=True, count=m,
+            )
+        )
+        np.testing.assert_array_equal(got[:m], np.sort(keys[:m]))
+        np.testing.assert_array_equal(got[m:], keys[m:])
+
+    def test_auto_fallback_on_skew(self, mesh):
+        """Constant keys make one source->dest cell hold a whole shard:
+        the slack-2 slots overflow and auto mode falls back to the packed
+        exchange + full re-sort (still exact)."""
+        n = 8 * 1024
+        keys = np.zeros(n, np.uint32)
+        got = np.asarray(
+            distributed.sort_sharded(
+                jnp.asarray(keys), mesh, config=self._cfg(),
+                use_pallas=True, merge_resort=None,
+            )
+        )
+        np.testing.assert_array_equal(got, keys)
+
+    def test_explicit_overflow_raises(self, mesh):
+        n = 8 * 1024
+        keys = np.zeros(n, np.uint32)
+        with pytest.raises(ValueError, match="slot staging"):
+            distributed.sort_sharded(
+                jnp.asarray(keys), mesh, config=self._cfg(),
+                use_pallas=True, merge_resort=True,
+            )
+
+    def test_explicit_under_jit_raises(self, mesh):
+        import jax
+
+        n = 8 * 512
+        keys = jnp.asarray(datagen.generate_keys(n, seed=34))
+
+        @jax.jit
+        def f(k):
+            return distributed.sort_sharded(
+                k, mesh, config=self._cfg(), use_pallas=True,
+                merge_resort=True,
+            )
+
+        with pytest.raises(ValueError, match="outer jit"):
+            f(keys)
+
+    def test_auto_under_jit_uses_full_resort(self, mesh):
+        """merge_resort=None under an outer jit silently picks the safe
+        full re-sort (no concrete fit flag is available)."""
+        import jax
+
+        n = 8 * 512
+        keys = datagen.generate_keys(n, seed=35)
+
+        @jax.jit
+        def f(k):
+            return distributed.sort_sharded(
+                k, mesh, config=self._cfg(), use_pallas=True,
+            )
+
+        np.testing.assert_array_equal(np.asarray(f(jnp.asarray(keys))),
+                                      np.sort(keys))

@@ -14,8 +14,8 @@ def test_fuzz_small(rng):
     """Fast-gate fuzz: random small shapes/distributions, keys + stable
     pairs (both arrays asserted) against the NumPy oracle."""
     dists = list(datagen.DISTRIBUTIONS)
-    for trial in range(3):
-        n = int(rng.integers(1, 1 << 11))
+    for trial in range(2):
+        n = int(rng.integers(1, 1 << 10))
         chunk = 1 << int(rng.integers(8, 10))
         dist = dists[trial % len(dists)]
         keys = datagen.generate_keys(n, seed=50 + trial, distribution=dist)
@@ -64,7 +64,7 @@ def test_fuzz_reduced_bit_range(rng):
     data_generator.cc:12-15) stress duplicate-heavy stability. One shape
     for all bit widths so the interpret tracing cost is paid once."""
     for bits in (1, 12):
-        n = 5000
+        n = 1800
         keys = datagen.generate_keys(n, seed=bits, bits=bits)
         vals = np.arange(n, dtype=np.uint32)
         gk, gv = bitonic.sort_pairs_u32(

@@ -24,7 +24,9 @@ def _sorter(n, dtype):
     )
 
 
-@pytest.mark.parametrize("n", [257, (1 << 12) + 7])
+@pytest.mark.parametrize(
+    "n", [(1 << 10) + 7, pytest.param((1 << 12) + 7, marks=pytest.mark.slow)]
+)
 def test_u64_keys(n):
     import jax.numpy as jnp
 
@@ -43,7 +45,7 @@ def test_u64_keys(n):
 def test_i64_keys():
     import jax.numpy as jnp
 
-    n = 3001
+    n = 1201
     rng = np.random.default_rng(2)
     keys = rng.integers(-(2**63), 2**63, size=n, dtype=np.int64)
     keys[:3] = [np.iinfo(np.int64).min, -1, np.iinfo(np.int64).max]
@@ -58,7 +60,7 @@ def test_f64_keys():
     if jax.devices()[0].platform == "tpu":
         pytest.skip("float64 keys unsupported on TPU (no f64 bitcast)")
 
-    n = 2500
+    n = 1100
     rng = np.random.default_rng(3)
     keys = rng.standard_normal(n) * 1e300
     keys[:4] = [0.0, -0.0, np.inf, -np.inf]
@@ -112,7 +114,7 @@ def test_u64_key_value_stable():
     with forced hi-word ties and duplicate full keys."""
     import jax.numpy as jnp
 
-    n = 1500
+    n = 900
     rng = np.random.default_rng(5)
     keys = rng.integers(0, 2**64, size=n, dtype=np.uint64)
     keys[rng.random(n) < 0.4] = np.uint64(0xDEADBEEF00001234)
@@ -141,7 +143,9 @@ def test_u64_key_value_nonstable():
     np.testing.assert_array_equal(np.asarray(gv), vals[order])
 
 
-@pytest.mark.parametrize("stable", [True, False])
+@pytest.mark.parametrize(
+    "stable", [True, pytest.param(False, marks=pytest.mark.slow)]
+)
 def test_u64_kv_count_path(stable):
     """Indirect (count=) 64-bit key-value: prefix sorted, tail untouched."""
     import jax.numpy as jnp

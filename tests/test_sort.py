@@ -60,7 +60,7 @@ def test_pallas_sort_pairs_stable(dist):
 
 
 def test_non_block_multiple_and_small_sizes(rng):
-    for n in (1, 5, 127, 128, 1000, (1 << 14) + 3, 3 * 1024 + 17):
+    for n in (1, 5, 127, 128, 1000, 3 * 1024 + 17):
         keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
         got = np.asarray(radix.sort_u32(jnp.asarray(keys), config=CFG))
         np.testing.assert_array_equal(got, np.sort(keys), err_msg=f"n={n}")
@@ -178,6 +178,35 @@ class TestSorterAPI:
         assert est >= actual / 4, (est, actual)
         assert est <= 8 * actual, (est, actual)
 
+    def test_storage_requirements_network_vs_compiled_memory(self):
+        """The NETWORK-branch estimator (sorter.py:150-167) against the
+        compiled interpret-mode program's memory plan, so the branch is
+        exercised in CI, not only on TPU. Interpret mode inflates XLA
+        temps ~50x with interpreter emulation buffers, so the bounds are
+        asymmetric: the estimate must cover the argument+output plan it
+        exists to predict (catching a dropped value/aux buffer) and stay
+        below even the inflated total (catching absurd overestimates);
+        the tight two-sided check runs on chip in the sibling test."""
+        n = (1 << 14) - 100  # non-power-of-two: estimator must pad
+        s = vrs.create_sorter(
+            n, config=SortConfig(backend="network", interpret=True,
+                                 chunk=1 << 12)
+        )
+        x = jnp.zeros((n,), jnp.uint32)
+        for key_value, fn, args in (
+            (False, s._sort_fn, (x,)),
+            (True, s._sort_pairs_fn, (x, x)),
+        ):
+            est = s.storage_requirements(key_value=key_value)
+            ma = fn.lower(*args).compile().memory_analysis()
+            plan = ma.argument_size_in_bytes + ma.output_size_in_bytes
+            total = plan + ma.temp_size_in_bytes
+            assert est >= plan / 2, (key_value, est, plan)
+            assert est <= total, (key_value, est, total)
+        # the KV estimate must account for all three padded buffers
+        # (key + aux + value), not just scale the keys figure by 2
+        assert s.storage_requirements(True) == 3 * s.storage_requirements()
+
     def test_validation_errors(self):
         s = vrs.create_sorter(128)
         with pytest.raises(ValueError):
@@ -278,9 +307,9 @@ class TestStageObservability:
         assert len(t.extra["kernels"]) >= 2
 
     def test_sort_key_value_timed_nonstable(self, rng):
-        n = 1500
+        n = 700
         s = vrs.create_sorter(
-            max_n=n, config=SortConfig(backend="network", chunk=1 << 10,
+            max_n=n, config=SortConfig(backend="network", chunk=1 << 9,
                                        interpret=True)
         )
         keys = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)

@@ -51,6 +51,15 @@ run ce_floor 1200 python tools/probes/ce_floor.py
 # 7b. CE formulation A/B (dependent hi-roll vs two independent rolls)
 run ce_variants 1200 python tools/probes/ce_variants.py
 
+# 7c. the same A/B on the SHIPPED keys engine (probe geometry != pipeline)
+run ce_indep_keys 1200 env VRS_CE_IMPL=indep \
+    python tools/round2_chip_check.py keys
+
+# 7d. measured per-kernel attribution of the fused pipeline (profiler
+#     XSpace decode — retires stage-count proration)
+run prof_keys 1200 python tools/profile_fused.py keys 25
+run prof_kv 1800 python tools/profile_fused.py kv 25
+
 # 8. refreshed sweep curves with the round-2 engine (packed-lazy KV,
 #    lo/hi lex CE) — keys + stable kv + kvns, 8 sizes (compile-heavy on
 #    first run; the persistent cache amortizes reruns)

@@ -1025,6 +1025,108 @@ def sort_pairs_u32(keys, values, *, chunk: int = 1 << 16,
     return arrs[0].reshape(-1)[:n], arrs[2].reshape(-1)[:n]
 
 
+# --------------------------------------------------------------------------
+# slot merge: finish a sort whose input is already 2^k sorted runs
+# --------------------------------------------------------------------------
+
+
+def _merge_rounds(arrs, np2, C, r_start, mode, interpret):
+    """Merge rounds r_start..log2(np2/C): the tail of _sort_padded for
+    inputs whose 2^(r_start-1)*C blocks are already sorted in alternating
+    directions (even block index ascending). No real_rows skipping: slot
+    fills are interspersed, not a trailing prefix."""
+    nrounds = _log2(np2 // C)
+    for r in range(r_start, nrounds + 1):
+        arrs = _run_cross(arrs, C, r, mode, interpret)
+        arrs = _run_local(arrs, C, r, mode, interpret)
+    return arrs
+
+
+def _reverse_odd_slots(x2):
+    """Flip the odd rows of a (n_slots, slot) array — converts all-ascending
+    sorted slots into the alternating-direction convention the merge rounds
+    expect. XLA fuses the reverse+select into one pass; no Pallas needed."""
+    odd = (jnp.arange(x2.shape[0]) & 1) == 1
+    return jnp.where(odd[:, None], jnp.flip(x2, axis=1), x2)
+
+
+def _slot_geometry(n, slot, chunk):
+    n_slots = n // slot
+    assert n == n_slots * slot and n_slots == _next_pow2(n_slots), (n, slot)
+    assert slot == _next_pow2(slot) and slot >= 2 * LANES, slot
+    C = min(slot, chunk)
+    return n_slots, C, _log2(slot // C) + 1
+
+
+@functools.partial(jax.jit, static_argnames=("slot", "chunk", "interpret"))
+def merge_slots_u32(keys, *, slot: int, chunk: int = 1 << 16,
+                    interpret: bool = False):
+    """Sort a (n_slots * slot,) array whose aligned `slot`-sized segments
+    are each sorted ascending with 0xFFFFFFFF fill tails, using only the
+    network's merge rounds — log2(n_slots) rounds instead of the full
+    log2(n)*(log2(n)+1)/2 stage network.
+
+    This is the distributed re-sort fast path: after the bucket exchange
+    each chip holds one sorted run per source (the reference's single-GPU
+    analog is the already-sorted staging re-read, downsweep.slang:186-192
+    — here the structure survives the collective and is exploited rather
+    than re-derived). Fills sort to the global tail (they are the key
+    maximum); callers slice the genuine prefix.
+    """
+    n = keys.shape[0]
+    n_slots, C, r_start = _slot_geometry(n, slot, chunk)
+    k2 = _reverse_odd_slots(
+        jnp.asarray(keys, jnp.uint32).reshape(n_slots, slot)
+    )
+    arrs = [k2.reshape(n // LANES, LANES)]
+    arrs = _merge_rounds(arrs, n, C, r_start, MODE_KEYS, interpret)
+    return arrs[0].reshape(-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("slot", "chunk", "interpret", "stable")
+)
+def merge_slots_pairs(keys, values, sizes, *, slot: int,
+                      chunk: int = 1 << 16, interpret: bool = False,
+                      stable: bool = True):
+    """Key-value slot merge. `sizes` ((n_slots,) int32) gives each slot's
+    genuine prefix length; the rest is fill.
+
+    stable=True tie-breaks equal keys by slot-major flat position — i.e.
+    (slot index, position within slot) — which for the distributed resort
+    is exactly (source rank, intra-source order), the global stability
+    contract. Fill tiebreaks are the maximum (0xFFFFFFFF packed /
+    0x7FFFFFFF plain, matching _packed_aux/_stable_idx), so fills sort
+    strictly after every genuine pair including genuine 0xFFFFFFFF keys.
+    stable=False expects value fills of 0xFFFFFFFF (the lex-pair maximum).
+    """
+    n = keys.shape[0]
+    n_slots, C, r_start = _slot_geometry(n, slot, chunk)
+    k2 = jnp.asarray(keys, jnp.uint32).reshape(n_slots, slot)
+    v2 = jnp.asarray(values, jnp.uint32).reshape(n_slots, slot)
+    if not stable:
+        arrs = [
+            _reverse_odd_slots(k2).reshape(-1, LANES),
+            _reverse_odd_slots(v2).reshape(-1, LANES),
+        ]
+        arrs = _merge_rounds(arrs, n, C, r_start, MODE_PAIRS, interpret)
+        return arrs[0].reshape(-1), arrs[1].reshape(-1)
+    pos = jnp.arange(slot, dtype=jnp.uint32)[None, :]
+    genuine = pos < sizes[:, None].astype(jnp.uint32)
+    flat = jnp.arange(n_slots, dtype=jnp.uint32)[:, None] * slot + pos
+    if n <= MAX_PACKED_N:
+        aux2 = jnp.where(genuine, flat << ROW_BITS, jnp.uint32(0xFFFFFFFF))
+        mode = MODE_PACKED
+    else:
+        aux2 = jnp.where(genuine, flat, jnp.uint32(0x7FFFFFFF))
+        mode = MODE_STABLE
+    arrs = [
+        _reverse_odd_slots(a).reshape(-1, LANES) for a in (k2, aux2, v2)
+    ]
+    arrs = _merge_rounds(arrs, n, C, r_start, mode, interpret)
+    return arrs[0].reshape(-1), arrs[2].reshape(-1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("chunk", "interpret", "stable")
 )

@@ -383,7 +383,7 @@ def _bitonic_merge_halves(sA, sB, config, interpret):
 
 
 def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
-                       overlap=False, dcn_slack=1):
+                       overlap=False, dcn_slack=1, merge_resort=False):
     axis, n_dev = _mesh_axis(mesh)
     hier = axis != AXIS and min(mesh.shape[DCN_AXIS], mesh.shape[ICI_AXIS]) > 1
     n = keys.shape[0]
@@ -391,6 +391,7 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
     m = n // n_dev
     targets = (jnp.arange(1, n_dev) * m).astype(jnp.int32)
     half = n_dev // 2
+    assert not (merge_resort and (hier or overlap or not use_pallas))
 
     def shard_fn(ks, vs):
         # 1. local stable sort
@@ -491,6 +492,46 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
             return (merge_keys_halves(sA, sB),
                     jnp.zeros((0,), jnp.uint32), ok)
 
+        if merge_resort:
+            # 4*. slotted exchange + merge-rounds-only re-sort: source d's
+            # data lands in slot d of a (n_slots * S) buffer, so arrivals
+            # are 2^k aligned sorted runs and the re-sort needs only the
+            # network's log2(n_slots) merge rounds instead of the full
+            # stage triangle (bitonic.merge_slots_* docstring). Slot size
+            # S ~ 2m/D (slack 2, replicated fit check like the DCN
+            # staging); on overflow the collective no-ops in-bounds and
+            # the host wrapper falls back to the packed full re-sort.
+            n_slots = bitonic._next_pow2(n_dev)
+            S = max(2 * bitonic.LANES,
+                    bitonic._next_pow2(-(-2 * m // n_dev)))
+            okm = sizes_all.max() <= S  # replicated -> same verdict
+            z = okm.astype(jnp.int32)
+            my = jax.lax.axis_index(axis)
+            out_off_s = jnp.full((n_dev,), 1, jnp.int32) * (
+                my.astype(jnp.int32) * S * z
+            )
+            send_z, recv_z = send * z, recv * z
+            chunk = config.chunk if config is not None else 1 << 16
+            interp = bool(config is not None and config.interpret)
+            kbuf = jnp.full((n_slots * S,), 0xFFFFFFFF, jnp.uint32)
+            ks2 = _ragged_a2a(ks, kbuf, in_off, send_z, out_off_s, recv_z,
+                              n_dev, axis)
+            ok = okm.astype(jnp.int32).reshape(1)
+            if key_value:
+                vbuf = jnp.zeros((n_slots * S,), vs.dtype)
+                vs2 = _ragged_a2a(vs, vbuf, in_off, send_z, out_off_s,
+                                  recv_z, n_dev, axis)
+                sizes_slots = jnp.zeros((n_slots,), jnp.int32).at[
+                    :n_dev].set(recv_z)
+                ko, vo = bitonic.merge_slots_pairs(
+                    ks2, vs2, sizes_slots, slot=S, chunk=chunk,
+                    interpret=interp,
+                )
+                return ko[:m], vo[:m], ok
+            ko = bitonic.merge_slots_u32(ks2, slot=S, chunk=chunk,
+                                         interpret=interp)
+            return ko[:m], jnp.zeros((0,), jnp.uint32), ok
+
         # 4. ragged bucket exchange over ICI
         out = jnp.zeros((m,), ks.dtype)
         ks2 = _ragged_a2a(ks, out, in_off, send, out_off, recv, n_dev, axis)
@@ -527,11 +568,11 @@ def _pad_to_mesh(x, n_dev, fill):
     jax.jit,
     static_argnames=(
         "mesh", "config", "key_value", "use_pallas", "overlap", "has_count",
-        "dcn_slack",
+        "dcn_slack", "merge_resort",
     ),
 )
 def _sort_entry(keys, values, count, *, mesh, config, key_value, use_pallas,
-                overlap, has_count, dcn_slack=1):
+                overlap, has_count, dcn_slack=1, merge_resort=False):
     """One jitted program: mask (indirect), pad to a mesh multiple, run the
     sharded pipeline, slice back, restore tails. Keeping the ragged slice
     and the where-restores inside the jit lets GSPMD resolve the uneven
@@ -551,6 +592,7 @@ def _sort_entry(keys, values, count, *, mesh, config, key_value, use_pallas,
     k, v, ok = _sort_sharded_impl(
         pk, pv, mesh=mesh, config=config, key_value=key_value,
         use_pallas=use_pallas, overlap=overlap, dcn_slack=dcn_slack,
+        merge_resort=merge_resort,
     )
 
     def unpad(x):
@@ -574,22 +616,59 @@ def _sort_entry(keys, values, count, *, mesh, config, key_value, use_pallas,
 
 
 def _run_with_slack(keys, values, count, *, mesh, config, key_value,
-                    use_pallas, overlap, has_count, dcn_slack):
+                    use_pallas, overlap, has_count, dcn_slack,
+                    merge_resort=None):
     """Run _sort_entry; on a 2-D mesh, pick/grow the hop-A staging slack.
 
     dcn_slack=None starts at min(2, min(H, C)) and doubles on overflow
     (each retry recompiles, cached per slack; min(H, C) always fits).
     An explicit dcn_slack is respected but overflow raises rather than
     returning a corrupt sort.
+
+    merge_resort=None auto-enables the slotted-exchange merge re-sort on
+    eager 1-D Pallas runs (the slack-2 slot fit has a concrete flag there;
+    on overflow — a heavily skewed source->destination matrix — it falls
+    back to the packed exchange + full re-sort). Explicit True raises on
+    overflow or an unsupported shape (2-D mesh, overlap, traced operands)
+    instead of silently degrading.
     """
-    axis, _ = _mesh_axis(mesh)
+    axis, n_dev = _mesh_axis(mesh)
     hier = axis != AXIS and min(mesh.shape[DCN_AXIS], mesh.shape[ICI_AXIS]) > 1
+    traced = any(
+        isinstance(x, jax.core.Tracer) for x in (keys, values, count)
+    )
+    if merge_resort and (hier or overlap or not use_pallas):
+        raise ValueError(
+            "merge_resort=True requires a 1-D mesh, overlap=False and the "
+            "Pallas engine (use_pallas)"
+        )
     if not hier:
-        k, v, _ = _sort_entry(
+        if merge_resort and traced:
+            raise ValueError(
+                "merge_resort=True under an outer jit cannot verify the "
+                "slot fit; call eagerly or pass merge_resort=False"
+            )
+        use_merge = bool(merge_resort) or (
+            merge_resort is None and use_pallas and not overlap
+            and not traced and n_dev > 1
+        )
+        k, v, ok = _sort_entry(
             keys, values, count, mesh=mesh, config=config,
             key_value=key_value, use_pallas=use_pallas, overlap=overlap,
-            has_count=has_count,
+            has_count=has_count, merge_resort=use_merge,
         )
+        if use_merge and not traced and not bool(np.asarray(ok)[0]):
+            if merge_resort:
+                raise ValueError(
+                    "merge_resort slot staging (2x even-share) overflowed "
+                    "for this key distribution; pass merge_resort=None "
+                    "(auto fallback) or False"
+                )
+            k, v, _ = _sort_entry(
+                keys, values, count, mesh=mesh, config=config,
+                key_value=key_value, use_pallas=use_pallas,
+                overlap=overlap, has_count=has_count, merge_resort=False,
+            )
         return k, v
     cap = min(mesh.shape[DCN_AXIS], mesh.shape[ICI_AXIS])
     fixed = dcn_slack is not None
@@ -634,7 +713,8 @@ def _run_with_slack(keys, values, count, *, mesh, config, key_value,
 
 def sort_sharded(keys, mesh: Mesh, config: SortConfig | None = None,
                  count=None, use_pallas: bool | None = None,
-                 overlap: bool = False, dcn_slack: int | None = None):
+                 overlap: bool = False, dcn_slack: int | None = None,
+                 merge_resort: bool | None = None):
     """Sort a 1-D uint32 array of any length sharded (or shardable) over
     `mesh`; returns the globally sorted array (same length).
 
@@ -647,6 +727,12 @@ def sort_sharded(keys, mesh: Mesh, config: SortConfig | None = None,
     fan-out over ICI; dcn_slack sizes the staging hop (None = adaptive).
     On 2-D meshes overlap=True source-splits by host half, so the second
     half's DCN hop can hide behind the first half's fan-out + local sort.
+
+    merge_resort (None = auto on eager 1-D Pallas runs) receives the
+    exchange into per-source slots and re-sorts with the network's merge
+    rounds only — ~log2(D)/log2(m) of the full re-sort's stages — falling
+    back to the packed exchange + full re-sort when the slack-2 slot
+    staging would overflow (heavily skewed exchanges).
     """
     if use_pallas is None:
         use_pallas = _default_use_pallas(config)
@@ -659,6 +745,7 @@ def sort_sharded(keys, mesh: Mesh, config: SortConfig | None = None,
         keys, jnp.zeros((0,), jnp.uint32), c, mesh=mesh,
         config=config, key_value=False, use_pallas=use_pallas,
         overlap=overlap, has_count=count is not None, dcn_slack=dcn_slack,
+        merge_resort=merge_resort,
     )
     return k
 
@@ -667,7 +754,8 @@ def sort_pairs_sharded(keys, values, mesh: Mesh,
                        config: SortConfig | None = None, count=None,
                        use_pallas: bool | None = None,
                        overlap: bool = False,
-                       dcn_slack: int | None = None):
+                       dcn_slack: int | None = None,
+                       merge_resort: bool | None = None):
     """Stable distributed key-value sort of any length; values ride a second
     ragged exchange as a separate 32-bit buffer (reference README.md:60).
 
@@ -692,5 +780,5 @@ def sort_pairs_sharded(keys, values, mesh: Mesh,
     return _run_with_slack(
         keys, values, c, mesh=mesh, config=config, key_value=True,
         use_pallas=use_pallas, overlap=overlap, has_count=count is not None,
-        dcn_slack=dcn_slack,
+        dcn_slack=dcn_slack, merge_resort=merge_resort,
     )

@@ -116,7 +116,7 @@ def phase_report(mesh, n: int, config: SortConfig | None = None,
     t_full = marginal_time(f_full, keys, iters=iters)
 
     parts = t_local + t_exch + t_resort
-    return {
+    rep = {
         "n": n,
         "devices": n_dev,
         "local_sort_s": t_local,
@@ -128,6 +128,25 @@ def phase_report(mesh, n: int, config: SortConfig | None = None,
         "overlap_mode": overlap,
         "use_pallas": use_pallas,
     }
+    if use_pallas and n_dev > 1 and not overlap:
+        # A/B the slotted-exchange merge re-sort against the full-re-sort
+        # pipeline above: one eager run yields the concrete slot-fit flag
+        # (the timing jit can't drive the auto fallback), then the fixed
+        # merge program is chain-timed like the others.
+        zv = jnp.zeros((0,), jnp.uint32)
+
+        def _merge_entry(k):
+            return D._sort_entry(
+                k, zv, jnp.uint32(0), mesh=mesh, config=config,
+                key_value=False, use_pallas=use_pallas, overlap=False,
+                has_count=False, merge_resort=True,
+            )
+
+        ok = np.asarray(jax.jit(lambda k: _merge_entry(k)[2])(keys))
+        if bool(ok[0]):
+            f_merge = jax.jit(lambda k: _merge_entry(k)[0])
+            rep["full_merge_s"] = marginal_time(f_merge, keys, iters=iters)
+    return rep
 
 
 def dcn_report(mesh2d, n: int, config: SortConfig | None = None,
