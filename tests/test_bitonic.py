@@ -153,7 +153,7 @@ def test_transposed_layout_rounds_and_pairs(rng, monkeypatch):
 
 def test_pairs_nonstable_max_keys_and_values():
     """Genuine 0xffffffff keys/values must survive sentinel padding."""
-    n = (1 << 12) + 5
+    n = (1 << 11) + 5
     rng = np.random.default_rng(9)
     keys = rng.integers(0, 4, size=n).astype(np.uint32) + 0xFFFFFFFC
     vals = rng.integers(0, 4, size=n).astype(np.uint32) + 0xFFFFFFFC
@@ -171,13 +171,13 @@ def test_big_n_stable_fallback_mode(rng, monkeypatch):
     (key, idx, value) carry) — forced at small n via the overridable
     threshold. Duplicates + genuine max keys stress the _stable_idx
     tie-break against the stable oracle (bench/cpu_benchmark.cc:33-49)."""
-    monkeypatch.setattr(bitonic, "MAX_PACKED_N", 1 << 10)
-    n = (1 << 11) + 57
+    monkeypatch.setattr(bitonic, "MAX_PACKED_N", 1 << 9)
+    n = (1 << 10) + 57
     keys = rng.integers(0, 17, size=n).astype(np.uint32)
     keys[rng.random(n) < 0.1] = 0xFFFFFFFF
     vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
     k, v = bitonic.sort_pairs_u32.__wrapped__(
-        jnp.asarray(keys), jnp.asarray(vals), chunk=1 << 10, interpret=True
+        jnp.asarray(keys), jnp.asarray(vals), chunk=1 << 9, interpret=True
     )
     order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(np.asarray(k), keys[order])

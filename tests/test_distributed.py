@@ -441,7 +441,7 @@ class TestMergeResort:
         """Constant keys make one source->dest cell hold a whole shard:
         the slack-2 slots overflow and auto mode falls back to the packed
         exchange + full re-sort (still exact)."""
-        n = 8 * 1024
+        n = 8 * 512
         keys = np.zeros(n, np.uint32)
         got = np.asarray(
             distributed.sort_sharded(

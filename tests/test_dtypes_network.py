@@ -12,7 +12,7 @@ import pytest
 import vulkan_radix_sort_tpu as vrs
 from vulkan_radix_sort_tpu.config import SortConfig
 
-CFG = SortConfig(backend="network", chunk=1 << 12, interpret=True)
+CFG = SortConfig(backend="network", chunk=1 << 10, interpret=True)
 
 
 def test_float32_key_value_network():
@@ -20,7 +20,7 @@ def test_float32_key_value_network():
     the packed-lazy stable carry (negative/positive/inf boundaries)."""
     import vulkan_radix_sort_tpu as vrs
 
-    n = 3000
+    n = 1500
     rng = np.random.default_rng(31)
     keys = rng.standard_normal(n).astype(np.float32)
     # no -0.0 here: the total-order encoding ranks -0.0 < 0.0 strictly,
@@ -37,7 +37,7 @@ def test_float32_key_value_network():
 
 
 def test_int32_keys(rng):
-    n = 5000
+    n = 2000
     keys = rng.integers(-(2**31), 2**31, size=n).astype(np.int32)
     s = vrs.Sorter(n, key_dtype=np.int32, config=CFG)
     got = np.asarray(s.sort(jnp.asarray(keys)))
@@ -45,7 +45,7 @@ def test_int32_keys(rng):
 
 
 def test_float32_keys_special_values(rng):
-    n = 4096
+    n = 1600
     keys = rng.standard_normal(n).astype(np.float32)
     keys[:8] = [0.0, -0.0, np.inf, -np.inf, 1e-38, -1e-38, 3.4e38, -3.4e38]
     s = vrs.Sorter(n, key_dtype=np.float32, config=CFG)
@@ -54,7 +54,7 @@ def test_float32_keys_special_values(rng):
 
 
 def test_uint32_kv_stable_network(rng):
-    n = 3000
+    n = 1500
     keys = (rng.integers(0, 2**32, size=n, dtype=np.uint64) % 5).astype(np.uint32)
     vals = np.arange(n, dtype=np.uint32)
     s = vrs.Sorter(n, config=CFG)
@@ -65,7 +65,7 @@ def test_uint32_kv_stable_network(rng):
 
 
 def test_indirect_count_network(rng):
-    n, m = 4096, 1234
+    n, m = 2048, 700
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
     s = vrs.Sorter(n, config=CFG)
     got = np.asarray(s.sort(jnp.asarray(keys), count=m))
@@ -78,7 +78,7 @@ def test_indirect_count_network_sentinel_keys(rng):
     prefix and the tail: the masked keys-only design makes real max keys
     bitwise interchangeable with the padding sentinels, which is only
     sound if exactly n-count sentinels land past position count-1."""
-    n, m = 4096, 1234
+    n, m = 2048, 700
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
     keys[rng.random(n) < 0.15] = 0xFFFFFFFF
     s = vrs.Sorter(n, config=CFG)
@@ -104,7 +104,7 @@ def test_float32_keys_nonstable_pairs():
 
     import vulkan_radix_sort_tpu as vrs
 
-    n = (1 << 12) + 11
+    n = (1 << 11) + 11
     rng = np.random.default_rng(21)
     keys = rng.standard_normal(n).astype(np.float32)
     keys[:16] = np.float32(1.5)  # forced ties

@@ -72,7 +72,7 @@ def test_f64_keys():
 def test_u64_count_path():
     import jax.numpy as jnp
 
-    n, m = 2048, 1000
+    n, m = 1024, 500
     rng = np.random.default_rng(4)
     keys = rng.integers(0, 2**64, size=n, dtype=np.uint64)
     s = _sorter(n, jnp.uint64)
@@ -130,7 +130,7 @@ def test_u64_key_value_nonstable():
     """stable=False: (key, value)-lexicographic, deterministic."""
     import jax.numpy as jnp
 
-    n = 1200
+    n = 800
     rng = np.random.default_rng(6)
     keys = rng.integers(0, 4, size=n, dtype=np.uint64) + np.uint64(
         0xFFFFFFFFFFFFFFFC
@@ -150,7 +150,7 @@ def test_u64_kv_count_path(stable):
     """Indirect (count=) 64-bit key-value: prefix sorted, tail untouched."""
     import jax.numpy as jnp
 
-    n, m = 1024, 700
+    n, m = 512, 300
     rng = np.random.default_rng(7)
     keys = rng.integers(0, 2**64, size=n, dtype=np.uint64)
     keys[rng.random(n) < 0.3] = np.uint64(0xFFFFFFFFFFFFFFFF)

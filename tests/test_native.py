@@ -52,3 +52,21 @@ def test_is_sorted(rng):
     assert not native.is_sorted_u32(k) or native.is_sorted_u32(k) == bool(
         np.all(np.diff(k.astype(np.int64)) >= 0)
     )
+
+
+def test_tile_parallel_path(rng, monkeypatch):
+    """The tile-parallel LSD path (T>1), forced via VRS_NATIVE_THREADS so
+    single-core CI boxes execute it: per-tile bases in (digit, tile) order
+    must keep the scatter stable."""
+    monkeypatch.setenv("VRS_NATIVE_THREADS", "4")
+    n = (1 << 20) + 7  # above kParallelMinN
+    k = (rng.integers(0, 2**32, size=n, dtype=np.uint64) % 97).astype(
+        np.uint32
+    )
+    v = np.arange(n, dtype=np.uint32)
+    sk, sv = native.sort_pairs_u32(k, v)
+    order = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(sk, k[order])
+    np.testing.assert_array_equal(sv, v[order])
+    ks = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    np.testing.assert_array_equal(native.sort_u32(ks), np.sort(ks))

@@ -187,10 +187,10 @@ class TestSorterAPI:
         exists to predict (catching a dropped value/aux buffer) and stay
         below even the inflated total (catching absurd overestimates);
         the tight two-sided check runs on chip in the sibling test."""
-        n = (1 << 14) - 100  # non-power-of-two: estimator must pad
+        n = (1 << 12) - 100  # non-power-of-two: estimator must pad
         s = vrs.create_sorter(
             n, config=SortConfig(backend="network", interpret=True,
-                                 chunk=1 << 12)
+                                 chunk=1 << 10)
         )
         x = jnp.zeros((n,), jnp.uint32)
         for key_value, fn, args in (
@@ -306,7 +306,22 @@ class TestStageObservability:
         assert t.total_ns > 0 and t.upsweep_ns > 0
         assert len(t.extra["kernels"]) >= 2
 
-    def test_sort_key_value_timed_nonstable(self, rng):
+    def test_sort_key_value_timed_wiring(self, rng, monkeypatch):
+        """Fast-gate check of the timed-KV plumbing (mode selection, stage
+        bucket mapping, per-kernel list) with the chained timer stubbed —
+        the real marginal-timing chains run in the slow gate / on chip."""
+        from vulkan_radix_sort_tpu.utils import timing
+
+        calls = []
+
+        def fake_marginal(f, *xs, **kw):
+            calls.append(f)
+            f(*xs)  # still execute once: the chained arrays must be valid
+            return 1e-4
+
+        monkeypatch.setattr(timing, "marginal_time", fake_marginal)
+        import vulkan_radix_sort_tpu.models.sorter as sorter_mod
+        monkeypatch.setattr(sorter_mod, "marginal_time", fake_marginal)
         n = 700
         s = vrs.create_sorter(
             max_n=n, config=SortConfig(backend="network", chunk=1 << 9,
@@ -317,6 +332,10 @@ class TestStageObservability:
         t = s.sort_key_value_timed(jnp.asarray(keys), jnp.asarray(vals),
                                    stable=False, iters=3)
         assert t.extra["mode"] == "pairs"
+        assert len(t.extra["kernels"]) >= 2 and calls
+        t2 = s.sort_key_value_timed(jnp.asarray(keys), jnp.asarray(vals),
+                                    stable=True, iters=3)
+        assert t2.extra["mode"] == "packed"
 
     @pytest.mark.slow
     def test_sort_key_value_timed_w64(self, rng):

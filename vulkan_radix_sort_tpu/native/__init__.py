@@ -41,7 +41,7 @@ def _build() -> str | None:
     ) >= os.path.getmtime(_SRC):
         return _LIB_PATH
     cmd = [
-        gxx, "-O3", "-shared", "-fPIC", "-std=c++17",
+        gxx, "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
         _SRC, "-o", _LIB_PATH,
     ]
     try:
