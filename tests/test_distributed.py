@@ -492,3 +492,32 @@ class TestMergeResort:
 
         np.testing.assert_array_equal(np.asarray(f(jnp.asarray(keys))),
                                       np.sort(keys))
+
+    def test_2d_hierarchical_merge(self):
+        """Slotted hop-B placement on a ("dcn", "ici") mesh: slot index =
+        flat source rank, so the merge re-sort preserves the same
+        positional stability the packed hop-B rounds give."""
+        mesh2 = distributed.make_mesh_2d(2, 4)
+        n = 8 * 1024
+        keys = datagen.generate_keys(n, seed=41)
+        got = np.asarray(
+            distributed.sort_sharded(
+                jnp.asarray(keys), mesh2, config=self._cfg(),
+                use_pallas=True, merge_resort=True,
+            )
+        )
+        np.testing.assert_array_equal(got, np.sort(keys))
+
+    @pytest.mark.slow
+    def test_2d_hierarchical_merge_pairs_stable(self):
+        mesh2 = distributed.make_mesh_2d(4, 2)
+        n = 8 * 1024
+        keys = (datagen.generate_keys(n, seed=42) & 0x7) * 0x13371337
+        vals = np.arange(n, dtype=np.uint32)
+        k, v = distributed.sort_pairs_sharded(
+            jnp.asarray(keys), jnp.asarray(vals), mesh2,
+            config=self._cfg(), use_pallas=True, merge_resort=True,
+        )
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(np.asarray(k), keys[order])
+        np.testing.assert_array_equal(np.asarray(v), vals[order])

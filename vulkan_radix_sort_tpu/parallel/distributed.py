@@ -229,7 +229,8 @@ def _exchange_plan(ks, targets, m, n_dev, axis=AXIS):
     return input_offsets, send_sizes, output_offsets, recv_sizes, sizes_all
 
 
-def _staged_exchange(arrs, sizes_all, in_off, H, C, m, slack, fills):
+def _staged_exchange(arrs, sizes_all, in_off, H, C, m, slack, fills,
+                     slot=None):
     """Two-hop hierarchical exchange on a ("dcn", "ici") mesh.
 
     Moves each of `arrs` (local sorted (m,) shards) to its flat-plan owner
@@ -239,6 +240,12 @@ def _staged_exchange(arrs, sizes_all, in_off, H, C, m, slack, fills):
     host, so the final (m,) buffers are in flat source-rank order —
     positional stability). All routing is planned from the replicated
     (D, D) `sizes_all`; no extra collectives beyond the data hops.
+
+    slot=S switches hop B's final placement from packed to per-flat-source
+    slots of S (final buffers next_pow2(D) * S), so the receiver holds
+    aligned sorted runs ready for the merge-rounds-only re-sort
+    (bitonic.merge_slots_*); the fit check then also requires every
+    single (src, dst) transfer <= S.
 
     Returns (outs, ok). ok is a replicated scalar, False when ANY chip's
     hop-A staging buffer (slack * m) would overflow; in that case the hops
@@ -264,6 +271,8 @@ def _staged_exchange(arrs, sizes_all, in_off, H, C, m, slack, fills):
     # on it).
     recv_staging = s4.sum(axis=3).sum(axis=0)  # (C ici, H dst_host)
     ok = recv_staging.max() <= slack * m
+    if slot is not None:
+        ok = ok & (sizes_all.max() <= slot)
     z = ok.astype(jnp.int32)
 
     # ---- hop A plan (my DCN group = chips with ici index my_i) ----
@@ -284,22 +293,32 @@ def _staged_exchange(arrs, sizes_all, in_off, H, C, m, slack, fills):
     dstcols = jax.lax.dynamic_slice(sizes_all, (0, my_h * C), (D, C))
     src_flat = jnp.arange(D)[:, None]
 
+    n_slots = 1 if slot is None else bitonic._next_pow2(D)
     outs = []
     for arr, fill in zip(arrs, fills):
         bufA = jnp.full((slack * m,), fill, arr.dtype)
         bufA = _ragged_a2a(arr, bufA, in_offA, sendA, out_offA, recvA, H,
                            axis=DCN_AXIS)
-        final = jnp.full((m,), fill, arr.dtype)
+        final = jnp.full((m if slot is None else n_slots * slot,), fill,
+                         arr.dtype)
         for h in range(H):
             rows = dstcols[h * C:(h + 1) * C]  # (C src chips of host h, C)
             # my staged block from src (h, my_i): segment j goes to chip j
             sB = jnp.take(rows, my_i, axis=0).astype(jnp.int32) * z  # (C,)
             in_offB = blockA_off[h] + (jnp.cumsum(sB) - sB)
-            # final placement: after every flat source rank < h*C + my_i
-            before = src_flat < (h * C + my_i)
-            out_offB = jnp.sum(
-                jnp.where(before, dstcols, 0), axis=0
-            ).astype(jnp.int32) * z  # (C,)
+            if slot is None:
+                # packed: after every flat source rank < h*C + my_i
+                before = src_flat < (h * C + my_i)
+                out_offB = jnp.sum(
+                    jnp.where(before, dstcols, 0), axis=0
+                ).astype(jnp.int32) * z  # (C,)
+            else:
+                # slotted: this round I forward source (h, my_i)'s data,
+                # which owns slot h*C + my_i in every destination's buffer
+                src_slot = jnp.int32(h * C) + my_i.astype(jnp.int32)
+                out_offB = jnp.broadcast_to(
+                    src_slot * jnp.int32(slot) * z, (C,)
+                )
             recvB = (
                 jnp.take(rows, my_i, axis=1).astype(jnp.int32) * z
             )  # (C,)
@@ -391,7 +410,10 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
     m = n // n_dev
     targets = (jnp.arange(1, n_dev) * m).astype(jnp.int32)
     half = n_dev // 2
-    assert not (merge_resort and (hier or overlap or not use_pallas))
+    assert not (merge_resort and (overlap or not use_pallas))
+    # slot geometry for the merge re-sort (shared by 1-D and 2-D paths)
+    n_slots = bitonic._next_pow2(n_dev)
+    S = max(2 * bitonic.LANES, bitonic._next_pow2(-(-2 * m // n_dev)))
 
     def shard_fn(ks, vs):
         # 1. local stable sort
@@ -407,6 +429,22 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
         ok = jnp.ones((1,), jnp.int32)
 
         interpret = bool(config is not None and config.interpret)
+        chunk = config.chunk if config is not None else 1 << 16
+
+        def merge_finish(ks2, vs2, recv_z, ok):
+            """Merge-rounds-only re-sort of slotted arrivals (slot i =
+            flat source rank i's sorted run, genuine prefix recv_z[i])."""
+            if key_value:
+                sizes_slots = jnp.zeros((n_slots,), jnp.int32).at[
+                    :n_dev].set(recv_z)
+                ko, vo = bitonic.merge_slots_pairs(
+                    ks2, vs2, sizes_slots, slot=S, chunk=chunk,
+                    interpret=interpret,
+                )
+                return ko[:m], vo[:m], ok
+            ko = bitonic.merge_slots_u32(ks2, slot=S, chunk=chunk,
+                                         interpret=interpret)
+            return ko[:m], jnp.zeros((0,), jnp.uint32), ok
 
         def merge_keys_halves(sA, sB):
             # both halves are ascending with sentinel tails; one bitonic
@@ -456,6 +494,20 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
                 sB = _local_sort(outsB[0], None, config, use_pallas)
                 return (merge_keys_halves(sA, sB),
                         jnp.zeros((0,), jnp.uint32), ok)
+            if merge_resort:
+                # 4''*. slotted hop-B placement + merge-rounds re-sort
+                outs, okd = _staged_exchange(
+                    arrs, sizes_all, in_off, H, C, m, dcn_slack, fills,
+                    slot=S,
+                )
+                ok = jax.lax.pmin(okd.astype(jnp.int32), axis).reshape(1)
+                my_flat = (jax.lax.axis_index(DCN_AXIS) * C
+                           + jax.lax.axis_index(ICI_AXIS))
+                recv_z = sizes_all[:, my_flat].astype(jnp.int32) * (
+                    okd.astype(jnp.int32)
+                )
+                return merge_finish(outs[0], outs[1] if key_value else None,
+                                    recv_z, ok)
             outs, okd = _staged_exchange(
                 arrs, sizes_all, in_off, H, C, m, dcn_slack, fills
             )
@@ -501,36 +553,23 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
             # S ~ 2m/D (slack 2, replicated fit check like the DCN
             # staging); on overflow the collective no-ops in-bounds and
             # the host wrapper falls back to the packed full re-sort.
-            n_slots = bitonic._next_pow2(n_dev)
-            S = max(2 * bitonic.LANES,
-                    bitonic._next_pow2(-(-2 * m // n_dev)))
             okm = sizes_all.max() <= S  # replicated -> same verdict
             z = okm.astype(jnp.int32)
             my = jax.lax.axis_index(axis)
-            out_off_s = jnp.full((n_dev,), 1, jnp.int32) * (
-                my.astype(jnp.int32) * S * z
+            out_off_s = jnp.broadcast_to(
+                my.astype(jnp.int32) * jnp.int32(S) * z, (n_dev,)
             )
             send_z, recv_z = send * z, recv * z
-            chunk = config.chunk if config is not None else 1 << 16
-            interp = bool(config is not None and config.interpret)
             kbuf = jnp.full((n_slots * S,), 0xFFFFFFFF, jnp.uint32)
             ks2 = _ragged_a2a(ks, kbuf, in_off, send_z, out_off_s, recv_z,
                               n_dev, axis)
-            ok = okm.astype(jnp.int32).reshape(1)
+            vs2 = None
             if key_value:
                 vbuf = jnp.zeros((n_slots * S,), vs.dtype)
                 vs2 = _ragged_a2a(vs, vbuf, in_off, send_z, out_off_s,
                                   recv_z, n_dev, axis)
-                sizes_slots = jnp.zeros((n_slots,), jnp.int32).at[
-                    :n_dev].set(recv_z)
-                ko, vo = bitonic.merge_slots_pairs(
-                    ks2, vs2, sizes_slots, slot=S, chunk=chunk,
-                    interpret=interp,
-                )
-                return ko[:m], vo[:m], ok
-            ko = bitonic.merge_slots_u32(ks2, slot=S, chunk=chunk,
-                                         interpret=interp)
-            return ko[:m], jnp.zeros((0,), jnp.uint32), ok
+            return merge_finish(ks2, vs2, recv_z,
+                                okm.astype(jnp.int32).reshape(1))
 
         # 4. ragged bucket exchange over ICI
         out = jnp.zeros((m,), ks.dtype)
@@ -626,28 +665,28 @@ def _run_with_slack(keys, values, count, *, mesh, config, key_value,
     returning a corrupt sort.
 
     merge_resort=None auto-enables the slotted-exchange merge re-sort on
-    eager 1-D Pallas runs (the slack-2 slot fit has a concrete flag there;
-    on overflow — a heavily skewed source->destination matrix — it falls
-    back to the packed exchange + full re-sort). Explicit True raises on
-    overflow or an unsupported shape (2-D mesh, overlap, traced operands)
-    instead of silently degrading.
+    eager Pallas runs, 1-D and hierarchical (the slack-2 slot fit has a
+    concrete flag there; on overflow — a heavily skewed source ->
+    destination matrix — it falls back to the packed exchange + full
+    re-sort). Explicit True raises on overflow or an unsupported shape
+    (overlap, traced operands) instead of silently degrading.
     """
     axis, n_dev = _mesh_axis(mesh)
     hier = axis != AXIS and min(mesh.shape[DCN_AXIS], mesh.shape[ICI_AXIS]) > 1
     traced = any(
         isinstance(x, jax.core.Tracer) for x in (keys, values, count)
     )
-    if merge_resort and (hier or overlap or not use_pallas):
+    if merge_resort and (overlap or not use_pallas):
         raise ValueError(
-            "merge_resort=True requires a 1-D mesh, overlap=False and the "
-            "Pallas engine (use_pallas)"
+            "merge_resort=True requires overlap=False and the Pallas "
+            "engine (use_pallas)"
+        )
+    if merge_resort and traced:
+        raise ValueError(
+            "merge_resort=True under an outer jit cannot verify the "
+            "slot fit; call eagerly or pass merge_resort=False"
         )
     if not hier:
-        if merge_resort and traced:
-            raise ValueError(
-                "merge_resort=True under an outer jit cannot verify the "
-                "slot fit; call eagerly or pass merge_resort=False"
-            )
         use_merge = bool(merge_resort) or (
             merge_resort is None and use_pallas and not overlap
             and not traced and n_dev > 1
@@ -692,14 +731,30 @@ def _run_with_slack(keys, values, count, *, mesh, config, key_value,
         return k, v
     slack = dcn_slack if fixed else min(2, cap)
     assert not isinstance(keys, jax.core.Tracer)
+    want_merge = bool(merge_resort) or (
+        merge_resort is None and use_pallas and not overlap
+    )
     while True:
         k, v, ok = _sort_entry(
             keys, values, count, mesh=mesh, config=config,
             key_value=key_value, use_pallas=use_pallas, overlap=overlap,
-            has_count=has_count, dcn_slack=slack,
+            has_count=has_count, dcn_slack=slack, merge_resort=want_merge,
         )
         if bool(ok[0]) if hasattr(ok, "shape") else bool(ok):
             return k, v
+        if want_merge:
+            # the combined flag can't distinguish slot overflow from hop-A
+            # staging overflow; drop the merge first (same slack), then
+            # let the pure slack ladder below resolve the rest
+            if merge_resort:
+                raise ValueError(
+                    "merge_resort slot staging (2x even-share) or the "
+                    f"dcn_slack={slack} hop-A staging overflowed for this "
+                    "key distribution; pass merge_resort=None (auto "
+                    "fallback) or False"
+                )
+            want_merge = False
+            continue
         if fixed:
             raise ValueError(
                 f"dcn_slack={slack} staging buffer overflowed for this key "
@@ -728,7 +783,7 @@ def sort_sharded(keys, mesh: Mesh, config: SortConfig | None = None,
     On 2-D meshes overlap=True source-splits by host half, so the second
     half's DCN hop can hide behind the first half's fan-out + local sort.
 
-    merge_resort (None = auto on eager 1-D Pallas runs) receives the
+    merge_resort (None = auto on eager Pallas runs, 1-D and 2-D) receives the
     exchange into per-source slots and re-sorts with the network's merge
     rounds only — ~log2(D)/log2(m) of the full re-sort's stages — falling
     back to the packed exchange + full re-sort when the slack-2 slot
