@@ -521,3 +521,32 @@ class TestMergeResort:
         order = np.argsort(keys, kind="stable")
         np.testing.assert_array_equal(np.asarray(k), keys[order])
         np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+    def test_overlap_merge_keys(self, mesh):
+        """overlap=True composed with merge_resort: two slotted half-
+        exchanges + half merges + final half-merge combine."""
+        n = 8 * 1024
+        keys = datagen.generate_keys(n, seed=43)
+        got = np.asarray(
+            distributed.sort_sharded(
+                jnp.asarray(keys), mesh, config=self._cfg(),
+                use_pallas=True, overlap=True, merge_resort=True,
+            )
+        )
+        np.testing.assert_array_equal(got, np.sort(keys))
+
+    @pytest.mark.slow
+    def test_overlap_merge_pairs_stable_max_keys(self, mesh):
+        n = 8 * 1024
+        rng = np.random.default_rng(44)
+        keys = (datagen.generate_keys(n, seed=44) & 0xF) * 0x11111111
+        keys[rng.random(n) < 0.1] = 0xFFFFFFFF
+        vals = np.arange(n, dtype=np.uint32)
+        k, v = distributed.sort_pairs_sharded(
+            jnp.asarray(keys), jnp.asarray(vals), mesh,
+            config=self._cfg(), use_pallas=True, overlap=True,
+            merge_resort=True,
+        )
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(np.asarray(k), keys[order])
+        np.testing.assert_array_equal(np.asarray(v), vals[order])

@@ -410,7 +410,8 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
     m = n // n_dev
     targets = (jnp.arange(1, n_dev) * m).astype(jnp.int32)
     half = n_dev // 2
-    assert not (merge_resort and (overlap or not use_pallas))
+    assert not (merge_resort and not use_pallas)
+    assert not (merge_resort and overlap and hier)  # 2-D overlap: no merge
     # slot geometry for the merge re-sort (shared by 1-D and 2-D paths)
     n_slots = bitonic._next_pow2(n_dev)
     S = max(2 * bitonic.LANES, bitonic._next_pow2(-(-2 * m // n_dev)))
@@ -517,6 +518,70 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
                 return ks3, vs3, ok
             ks3 = _local_sort(outs[0], None, config, use_pallas)
             return ks3, jnp.zeros((0,), jnp.uint32), ok
+
+        if overlap and half >= 1 and merge_resort:
+            # 4'*. overlap composed with the merge re-sort: two slotted
+            # half-exchanges (slots compacted per half: source base+i owns
+            # slot i), each finished with merge rounds only, combined by
+            # the usual half merge. This keeps the overlap's independent-
+            # collective structure WITHOUT the packed overlap path's
+            # doubled full re-sorts — the projection's "merge+overlap"
+            # row (docs/SCALING_PROJECTION.md).
+            my = jax.lax.axis_index(axis)
+            okm = sizes_all.max() <= S  # covers both halves (masked <=)
+            z = okm.astype(jnp.int32)
+            ok = okm.astype(jnp.int32).reshape(1)
+            chunkc = config.chunk if config is not None else 1 << 16
+
+            def half_slotted(base, cnt):
+                n_sl = bitonic._next_pow2(cnt)
+                mask = (
+                    (jnp.arange(n_dev) >= base)
+                    & (jnp.arange(n_dev) < base + cnt)
+                ).astype(sizes_all.dtype)
+                masked = sizes_all * mask[:, None]
+                send_h = jnp.take(masked, my, axis=0).astype(
+                    jnp.int32) * z
+                recv_h = masked[:, my].astype(jnp.int32) * z
+                slot_i = jnp.clip(my.astype(jnp.int32) - base, 0,
+                                  n_sl - 1)
+                off_h = jnp.broadcast_to(slot_i * jnp.int32(S) * z,
+                                         (n_dev,))
+                kbuf = jnp.full((n_sl * S,), 0xFFFFFFFF, jnp.uint32)
+                kh = _ragged_a2a(ks, kbuf, in_off, send_h, off_h,
+                                 recv_h, n_dev, axis)
+
+                def pad_m(x, fill):
+                    if x.shape[0] >= m:
+                        return x[:m]
+                    return jnp.pad(x, (0, m - x.shape[0]),
+                                   constant_values=fill)
+
+                r_h = recv_h.sum().astype(jnp.int32)
+                if not key_value:
+                    kh = bitonic.merge_slots_u32(
+                        kh, slot=S, chunk=chunkc, interpret=interpret
+                    )
+                    return pad_m(kh, 0xFFFFFFFF), None, r_h
+                vbuf = jnp.zeros((n_sl * S,), vs.dtype)
+                vh = _ragged_a2a(vs, vbuf, in_off, send_h, off_h,
+                                 recv_h, n_dev, axis)
+                sizes_sl = jnp.zeros((n_sl,), jnp.int32).at[:cnt].set(
+                    jax.lax.dynamic_slice(recv_h, (base,), (cnt,))
+                )
+                kh, vh = bitonic.merge_slots_pairs(
+                    kh, vh, sizes_sl, slot=S, chunk=chunkc,
+                    interpret=interpret,
+                )
+                return pad_m(kh, 0xFFFFFFFF), pad_m(vh, 0), r_h
+
+            kA, vA, rA = half_slotted(0, half)
+            kB, vB, _ = half_slotted(half, n_dev - half)
+            if key_value:
+                ko, vo = _stable_merge_valid(kA, vA, rA, kB, vB, True)
+                return ko, vo, ok
+            return (merge_keys_halves(kA, kB),
+                    jnp.zeros((0,), jnp.uint32), ok)
 
         if overlap and half >= 1:
             # 4'. source-split exchange: sources [0, half) first, the rest
@@ -676,10 +741,15 @@ def _run_with_slack(keys, values, count, *, mesh, config, key_value,
     traced = any(
         isinstance(x, jax.core.Tracer) for x in (keys, values, count)
     )
-    if merge_resort and (overlap or not use_pallas):
+    if merge_resort and not use_pallas:
         raise ValueError(
-            "merge_resort=True requires overlap=False and the Pallas "
-            "engine (use_pallas)"
+            "merge_resort=True requires the Pallas engine (use_pallas)"
+        )
+    if merge_resort and overlap and hier:
+        raise ValueError(
+            "merge_resort=True with overlap=True is supported on 1-D "
+            "meshes only (the hierarchical overlap keeps the packed "
+            "half-exchange)"
         )
     if merge_resort and traced:
         raise ValueError(
@@ -688,7 +758,7 @@ def _run_with_slack(keys, values, count, *, mesh, config, key_value,
         )
     if not hier:
         use_merge = bool(merge_resort) or (
-            merge_resort is None and use_pallas and not overlap
+            merge_resort is None and use_pallas
             and not traced and n_dev > 1
         )
         k, v, ok = _sort_entry(
