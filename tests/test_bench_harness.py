@@ -70,3 +70,31 @@ def test_nonstable_sweep_cpu():
                         n_min=1 << 10, n_max=1 << 12)
     sorts = {r.sort for r in results}
     assert sorts == {"keys", "kv", "kvns"}
+
+
+def test_profile_fused_decoder(tmp_path, capsys):
+    """tools/profile_fused.py: the jax.profiler XSpace wire-format decoder
+    must parse a real trace and attribute per-kernel device time (on CPU
+    the events are XLA:CPU thunks; on TPU the same decoder sees Mosaic
+    kernels — the measured-attribution path for fused rounds)."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "profile_fused",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "profile_fused.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old = sys.argv
+    sys.argv = ["profile_fused.py", "keys", "12", "10"]
+    try:
+        rc = mod.main()
+    finally:
+        sys.argv = old
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kernels"] and out["device_total_s"] > 0

@@ -137,14 +137,19 @@ def main():
     keys = jnp.asarray(
         rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
     )
+    # interpret off-TPU so the decode path is smoke-testable in CI (the
+    # CPU trace has host-side pallas-interpret events instead of Mosaic
+    # kernels, but the XSpace wire format and decoder are identical)
+    interp = jax.devices()[0].platform != "tpu"
     if kind == "keys":
-        fn = jax.jit(lambda k: bitonic.sort_u32(k, chunk=chunk))
+        fn = jax.jit(lambda k: bitonic.sort_u32(k, chunk=chunk,
+                                                interpret=interp))
         args = (keys,)
     else:
         vals = jnp.asarray(np.arange(n, dtype=np.uint32))
         stable = kind == "kv"
         fn = jax.jit(lambda k, v: bitonic.sort_pairs_u32(
-            k, v, chunk=chunk, stable=stable))
+            k, v, chunk=chunk, stable=stable, interpret=interp))
         args = (keys, vals)
 
     jax.block_until_ready(fn(*args))  # compile outside the trace
