@@ -286,3 +286,31 @@ def test_merge_slots_pairs_big_n_mode(rng, monkeypatch):
     m = len(allk)
     np.testing.assert_array_equal(np.asarray(gk)[:m], allk[perm])
     np.testing.assert_array_equal(np.asarray(gv)[:m], allv[perm])
+
+
+def test_merge_slots_keys_gated(rng):
+    """Keys merge with `sizes` supplied: pure-fill blocks are SMEM-gated
+    to a copy. Genuine 0xFFFFFFFF keys stress the count model's tie case
+    (blocks past the modeled genuine range are then constant, so the copy
+    is still value-identical)."""
+    n_slots, S = 8, 512
+    sizes = rng.integers(0, S + 1, n_slots)
+    sizes[1], sizes[6] = 0, S
+    buf = np.full((n_slots, S), 0xFFFFFFFF, np.uint32)
+    runs = []
+    for s in range(n_slots):
+        g = rng.integers(0, 2**32, sizes[s], dtype=np.uint64).astype(
+            np.uint32)
+        g[rng.random(sizes[s]) < 0.2] = 0xFFFFFFFF  # genuine max keys
+        g = np.sort(g)
+        buf[s, : sizes[s]] = g
+        runs.append(g)
+    allk = np.concatenate(runs)
+    got = np.asarray(
+        bitonic.merge_slots_u32.__wrapped__(
+            jnp.asarray(buf.reshape(-1)),
+            jnp.asarray(sizes.astype(np.int32)),
+            slot=S, chunk=1 << 10, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got[: len(allk)], np.sort(allk))

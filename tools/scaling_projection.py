@@ -41,14 +41,20 @@ def full_sort_stages(n: int) -> int:
     return b * (b + 1) // 2
 
 
-def merge_stages(buffer_n: int, slot: int, chunk: int = 1 << 16) -> int:
-    """Stage-passes of the slotted merge re-sort (bitonic.merge_slots_*):
-    rounds r_start..nrounds, each lc + r stages."""
+def merge_stage_elems(buffer_n: int, genuine_n: int, slot: int,
+                      chunk: int = 1 << 16) -> float:
+    """Element-stage-passes of the slotted merge re-sort
+    (bitonic.merge_slots_*): per round, cross stages run over the whole
+    slot buffer (groups mix genuine and fill blocks) while local stages
+    skip pure-fill blocks via the SMEM validity gate (_merge_rounds count
+    tracking) — only ~genuine_n elements pay them."""
     C = min(slot, chunk)
     lc = int(math.log2(C))
     nrounds = int(math.log2(buffer_n // C))
     r_start = int(math.log2(slot // C)) + 1
-    return sum(lc + r for r in range(r_start, nrounds + 1))
+    cross = sum(r for r in range(r_start, nrounds + 1)) * buffer_n
+    local = (nrounds - r_start + 1) * lc * genuine_n
+    return cross + local
 
 
 def a2a_torus_s(v_bytes: float, dims: tuple) -> float:
@@ -81,8 +87,7 @@ def project(m: int, dims: tuple, hosts: int = 1, merge_resort: bool = True,
         slot = max(256, 1 << math.ceil(math.log2(2 * m / D)))
         buf = D * slot if D * slot >= 2 * m else 2 * m
         nslots = buf // slot
-        stages = merge_stages(buf, slot, chunk)
-        t_resort = TAU_STAGE_S * buf * stages
+        t_resort = TAU_STAGE_S * merge_stage_elems(buf, m, slot, chunk)
         # odd-slot reversal: one read+write pass over the slot buffer
         t_resort += 2 * buf * KEY_BYTES / HBM_STREAM_GBS
         # unfused rounds: 2 HBM round trips per round — only binds if the
@@ -202,14 +207,17 @@ DOC_EPILOGUE = """
 
 - The **merge re-sort** (slotted exchange + merge-rounds-only re-sort,
   `bitonic.merge_slots_*`) replaces the full 351-stage re-sort of m with
-  ~102 stages over the 2m slot buffer — the single biggest projected
-  scaling lever, and it is implemented and CPU-mesh-tested today
+  merge rounds over the 2m slot buffer, and the SMEM validity gate skips
+  the local stages of pure-fill blocks (~half the buffer), leaving ~38
+  cross stages over 2m + ~64 local stages over m — the single biggest
+  projected scaling lever, implemented and CPU-mesh-tested today
   (`tests/test_distributed.py::TestMergeResort`).
-- **merge+overlap** additionally hides the collective behind the first
-  half's re-sort (`overlap=True`, source-split exchange). Projected to
-  meet the 80% (nlogn) bar on v5e-16; the naive metric cannot reach 80%
-  for any comparison sort at D=16 (L(2^30)/L(2^26) = 1.32 of inherent
-  extra work).
+- **merge+overlap** additionally hides the collective behind the half
+  merges (`overlap=True` + `merge_resort`: two slotted half-exchanges,
+  each merge-finished — implemented, same test class). Projected to
+  clear the 80% (nlogn) bar on v5e-16 with margin; the naive metric
+  cannot reach 80% for any comparison sort at D=16 (L(2^30)/L(2^26) =
+  1.32 of inherent extra work).
 - The DCN row shows the 2-host NIC tier dominating the exchange; the
   hierarchical router's consolidation (H-1 messages/chip) keeps the
   volume at the exact (H-1)/H fraction shown.

@@ -524,13 +524,19 @@ def _scalar_m32(pred):
     return jnp.where(pred, jnp.int32(-1), jnp.int32(0))
 
 
-def _cross_kernel_body(r, mode, refs):
-    """refs blocks are (G=2^r, SR, 128); stage distances are along dim 0."""
+def _cross_kernel_body(r, mode, refs, pid=None):
+    """refs blocks are (G=2^r, SR, 128); stage distances are along dim 0.
+
+    `pid` lets the validity gate (_gate_body) hoist program_id out of its
+    pl.when branch — the interpret lowering has no program_id rule inside
+    control flow."""
     c = _Carry(mode, refs)
     G = c.words[0].shape[0]
     assert G == 1 << r
+    if pid is None:
+        pid = pl.program_id(0)
     # bit log2(C)+r of the global index = group parity, scalar
-    m = _scalar_m32((pl.program_id(0) & 1) == 1)
+    m = _scalar_m32((pid & 1) == 1)
     c.negate(m)
     for t in range(r - 1, -1, -1):
         c.stage_rows(1 << t)
@@ -543,10 +549,12 @@ def _cross_kernel_body(r, mode, refs):
 # --------------------------------------------------------------------------
 
 
-def _local_kernel_body(C, r, mode, refs):
+def _local_kernel_body(C, r, mode, refs, pid=None):
     c = _Carry(mode, refs)
+    if pid is None:
+        pid = pl.program_id(0)
     # bit log2(C)+r of the global index, scalar per block
-    m = _scalar_m32(((pl.program_id(0) >> r) & 1) == 1)
+    m = _scalar_m32(((pid >> r) & 1) == 1)
     lc = _log2(C)
     use_t = c.can_transpose()
     c.negate(m)  # scalar masks are layout-independent
@@ -679,13 +687,45 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _block_call(body, arrs, rc, interpret, real_rows=None):
+def _gate_body(body, n):
+    """Wrap a kernel body with an SMEM validity gate: grid steps whose
+    region is pure fill (valid[p] == 0) copy in->out instead of running
+    the CE network. Sound because every network stage maps an all-equal
+    region to itself — fill tuples are the lexicographic maximum and the
+    multi-word compare separates them exactly from genuine elements, so
+    a zero-count region really is all-fill (for keys, genuine 0xFFFFFFFF
+    elements may stand in for fills, but then the region is constant and
+    the copy is still value-identical)."""
+
+    def wrapped(*refs):
+        ins, vref, outs = refs[:n], refs[n], refs[n + 1:]
+        # program_id is hoisted OUT of the pl.when branches (the interpret
+        # lowering lacks a program_id rule inside control flow) and passed
+        # into the body as a value
+        pid = pl.program_id(0)
+        v = vref[pid] != 0
+
+        @pl.when(v)
+        def _():
+            body(*ins, *outs, pid=pid)
+
+        @pl.when(jnp.logical_not(v))
+        def _():
+            for i, o in zip(ins, outs):
+                o[:] = i[:]
+
+    return wrapped
+
+
+def _block_call(body, arrs, rc, interpret, real_rows=None, valid=None):
     """Per-block kernel over the leading `real_rows` only.
 
     Inputs are aliased to outputs, so blocks past the real-data prefix (pure
     sentinel padding, which every network stage maps to itself) skip both
     compute and HBM traffic — non-power-of-two sizes stop paying for their
-    padding.
+    padding. `valid` ((nblocks,) int32) additionally gates INTERSPERSED
+    fill blocks (the slot-merge path) to a cheap VMEM copy — they still
+    pay the HBM round trip, but not the stage network.
     """
     rows_total = arrs[0].shape[0]
     nblocks = rows_total // rc
@@ -693,10 +733,16 @@ def _block_call(body, arrs, rc, interpret, real_rows=None):
         nblocks = min(nblocks, _cdiv(real_rows, rc))
     spec = pl.BlockSpec((rc, LANES), lambda p: (p, 0), memory_space=pltpu.VMEM)
     n = len(arrs)
+    in_specs = [spec] * n
+    call_args = list(arrs)
+    if valid is not None:
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        call_args.append(valid.astype(jnp.int32))
+        body = _gate_body(body, n)
     return pl.pallas_call(
         body,
         grid=(nblocks,),
-        in_specs=[spec] * n,
+        in_specs=in_specs,
         out_specs=[spec] * n,
         out_shape=_out_shapes(n, arrs[0].shape),
         input_output_aliases={i: i for i in range(n)},
@@ -705,7 +751,7 @@ def _block_call(body, arrs, rc, interpret, real_rows=None):
             vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(*arrs)
+    )(*call_args)
 
 
 def _run_chunk(arrs, C, mode, interpret, real_rows=None):
@@ -721,7 +767,7 @@ def _run_chunk(arrs, C, mode, interpret, real_rows=None):
     return arrs
 
 
-def _run_cross(arrs, C, r, mode, interpret, real_rows=None):
+def _run_cross(arrs, C, r, mode, interpret, real_rows=None, valid=None):
     rows_total = arrs[0].shape[0]
     rc = C // LANES
     nblocks = rows_total // rc
@@ -741,10 +787,18 @@ def _run_cross(arrs, C, r, mode, interpret, real_rows=None):
     spec = pl.BlockSpec(
         (G, sr, LANES), lambda g, s: (g, s, 0), memory_space=pltpu.VMEM
     )
+    body = (lambda *refs, pid=None:
+            _cross_kernel_body(r, mode, refs, pid))  # noqa: E731
+    in_specs = [spec] * n
+    call_args = list(arrs3)
+    if valid is not None:  # (ngroups,) group validity, SMEM-gated
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        call_args.append(valid.astype(jnp.int32))
+        body = _gate_body(body, n)
     out = pl.pallas_call(
-        lambda *refs: _cross_kernel_body(r, mode, refs),
+        body,
         grid=(ngroups, rc // sr),
-        in_specs=[spec] * n,
+        in_specs=in_specs,
         out_specs=[spec] * n,
         out_shape=_out_shapes(n, (nblocks, rc, LANES)),
         input_output_aliases={i: i for i in range(n)},
@@ -753,15 +807,16 @@ def _run_cross(arrs, C, r, mode, interpret, real_rows=None):
             vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(*arrs3)
+    )(*call_args)
     out = out if isinstance(out, (list, tuple)) else [out]
     return [o.reshape(rows_total, LANES) for o in out]
 
 
-def _run_local(arrs, C, r, mode, interpret, real_rows=None):
+def _run_local(arrs, C, r, mode, interpret, real_rows=None, valid=None):
     body = functools.partial(_local_kernel_body, C, r, mode)
     return _block_call(
-        lambda *refs: body(refs), arrs, C // LANES, interpret, real_rows
+        lambda *refs, pid=None: body(refs, pid), arrs, C // LANES,
+        interpret, real_rows, valid,
     )
 
 
@@ -1030,15 +1085,61 @@ def sort_pairs_u32(keys, values, *, chunk: int = 1 << 16,
 # --------------------------------------------------------------------------
 
 
-def _merge_rounds(arrs, np2, C, r_start, mode, interpret):
+def _merge_rounds(arrs, np2, C, r_start, mode, interpret, slot=None,
+                  sizes=None):
     """Merge rounds r_start..log2(np2/C): the tail of _sort_padded for
     inputs whose 2^(r_start-1)*C blocks are already sorted in alternating
-    directions (even block index ascending). No real_rows skipping: slot
-    fills are interspersed, not a trailing prefix."""
+    directions (even block index ascending). real_rows skipping does not
+    apply (slot fills are interspersed, not a trailing prefix) — instead,
+    when per-slot genuine `sizes` are known, per-block genuine COUNTS are
+    tracked through the rounds and pure-fill regions are SMEM-gated to a
+    VMEM copy (_gate_body):
+
+    - initially, an ascending slot's genuine elements are its prefix and a
+      reversed (descending) slot's are its suffix;
+    - after round r's cross stages, the half-cleaner separation property
+      puts each 2^r-block group's elements in block order (up to the
+      group's direction), so fills — the lexicographic maximum — occupy
+      the trailing (ascending) or leading (descending) blocks, and the
+      per-block counts are a clip of the conserved group count.
+
+    With slack-2 slots roughly half the local-stage compute is skipped.
+    """
     nrounds = _log2(np2 // C)
+    counts = None
+    if sizes is not None and slot is not None:
+        nblocks = np2 // C
+        bps = slot // C  # C-blocks per slot
+        b = jnp.arange(nblocks, dtype=jnp.int32)
+        off = (b % bps) * C
+        g = sizes[b // bps].astype(jnp.int32)
+        odd_slot = ((b // bps) & 1) == 1
+        counts = jnp.where(
+            odd_slot,
+            jnp.clip(off + C - (slot - g), 0, C),
+            jnp.clip(g - off, 0, C),
+        )
     for r in range(r_start, nrounds + 1):
-        arrs = _run_cross(arrs, C, r, mode, interpret)
-        arrs = _run_local(arrs, C, r, mode, interpret)
+        if counts is None:
+            arrs = _run_cross(arrs, C, r, mode, interpret)
+            arrs = _run_local(arrs, C, r, mode, interpret)
+            continue
+        Gb = 1 << r  # blocks per group this round
+        gcnt = counts.reshape(-1, Gb).sum(axis=1)  # conserved per group
+        arrs = _run_cross(arrs, C, r, mode, interpret,
+                          valid=(gcnt > 0).astype(jnp.int32))
+        nblocks = counts.shape[0]
+        b = jnp.arange(nblocks, dtype=jnp.int32)
+        pos = b % Gb
+        grep = jnp.repeat(gcnt, Gb)
+        g_odd = ((b // Gb) & 1) == 1  # round direction = group parity
+        counts = jnp.where(
+            g_odd,
+            jnp.clip(grep - (Gb - 1 - pos) * C, 0, C),
+            jnp.clip(grep - pos * C, 0, C),
+        )
+        arrs = _run_local(arrs, C, r, mode, interpret,
+                          valid=(counts > 0).astype(jnp.int32))
     return arrs
 
 
@@ -1059,7 +1160,7 @@ def _slot_geometry(n, slot, chunk):
 
 
 @functools.partial(jax.jit, static_argnames=("slot", "chunk", "interpret"))
-def merge_slots_u32(keys, *, slot: int, chunk: int = 1 << 16,
+def merge_slots_u32(keys, sizes=None, *, slot: int, chunk: int = 1 << 16,
                     interpret: bool = False):
     """Sort a (n_slots * slot,) array whose aligned `slot`-sized segments
     are each sorted ascending with 0xFFFFFFFF fill tails, using only the
@@ -1071,7 +1172,9 @@ def merge_slots_u32(keys, *, slot: int, chunk: int = 1 << 16,
     analog is the already-sorted staging re-read, downsweep.slang:186-192
     — here the structure survives the collective and is exploited rather
     than re-derived). Fills sort to the global tail (they are the key
-    maximum); callers slice the genuine prefix.
+    maximum); callers slice the genuine prefix. Optional `sizes`
+    ((n_slots,) int32 genuine prefix lengths) turns on pure-fill block
+    skipping (see _merge_rounds).
     """
     n = keys.shape[0]
     n_slots, C, r_start = _slot_geometry(n, slot, chunk)
@@ -1079,7 +1182,8 @@ def merge_slots_u32(keys, *, slot: int, chunk: int = 1 << 16,
         jnp.asarray(keys, jnp.uint32).reshape(n_slots, slot)
     )
     arrs = [k2.reshape(n // LANES, LANES)]
-    arrs = _merge_rounds(arrs, n, C, r_start, MODE_KEYS, interpret)
+    arrs = _merge_rounds(arrs, n, C, r_start, MODE_KEYS, interpret,
+                         slot=slot, sizes=sizes)
     return arrs[0].reshape(-1)
 
 
@@ -1109,12 +1213,16 @@ def merge_slots_pairs(keys, values, sizes, *, slot: int,
             _reverse_odd_slots(k2).reshape(-1, LANES),
             _reverse_odd_slots(v2).reshape(-1, LANES),
         ]
-        arrs = _merge_rounds(arrs, n, C, r_start, MODE_PAIRS, interpret)
+        arrs = _merge_rounds(arrs, n, C, r_start, MODE_PAIRS, interpret,
+                             slot=slot, sizes=sizes)
         return arrs[0].reshape(-1), arrs[1].reshape(-1)
     pos = jnp.arange(slot, dtype=jnp.uint32)[None, :]
     genuine = pos < sizes[:, None].astype(jnp.uint32)
     flat = jnp.arange(n_slots, dtype=jnp.uint32)[:, None] * slot + pos
-    if n <= MAX_PACKED_N:
+    # STRICT here (vs <= in sort_pairs_u32): slot buffers always contain
+    # fills, and at n == 2^25 exactly the last genuine aux (n-1)<<7|127
+    # would collide with the 0xFFFFFFFF fill sentinel
+    if n < MAX_PACKED_N:
         aux2 = jnp.where(genuine, flat << ROW_BITS, jnp.uint32(0xFFFFFFFF))
         mode = MODE_PACKED
     else:
@@ -1123,7 +1231,8 @@ def merge_slots_pairs(keys, values, sizes, *, slot: int,
     arrs = [
         _reverse_odd_slots(a).reshape(-1, LANES) for a in (k2, aux2, v2)
     ]
-    arrs = _merge_rounds(arrs, n, C, r_start, mode, interpret)
+    arrs = _merge_rounds(arrs, n, C, r_start, mode, interpret,
+                         slot=slot, sizes=sizes)
     return arrs[0].reshape(-1), arrs[2].reshape(-1)
 
 

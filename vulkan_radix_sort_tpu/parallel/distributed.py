@@ -434,17 +434,19 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
 
         def merge_finish(ks2, vs2, recv_z, ok):
             """Merge-rounds-only re-sort of slotted arrivals (slot i =
-            flat source rank i's sorted run, genuine prefix recv_z[i])."""
+            flat source rank i's sorted run, genuine prefix recv_z[i]);
+            the sizes also drive pure-fill block skipping in the merge
+            kernels."""
+            sizes_slots = jnp.zeros((n_slots,), jnp.int32).at[
+                :n_dev].set(recv_z)
             if key_value:
-                sizes_slots = jnp.zeros((n_slots,), jnp.int32).at[
-                    :n_dev].set(recv_z)
                 ko, vo = bitonic.merge_slots_pairs(
                     ks2, vs2, sizes_slots, slot=S, chunk=chunk,
                     interpret=interpret,
                 )
                 return ko[:m], vo[:m], ok
-            ko = bitonic.merge_slots_u32(ks2, slot=S, chunk=chunk,
-                                         interpret=interpret)
+            ko = bitonic.merge_slots_u32(ks2, sizes_slots, slot=S,
+                                         chunk=chunk, interpret=interpret)
             return ko[:m], jnp.zeros((0,), jnp.uint32), ok
 
         def merge_keys_halves(sA, sB):
@@ -558,17 +560,18 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
                                    constant_values=fill)
 
                 r_h = recv_h.sum().astype(jnp.int32)
+                sizes_sl = jnp.zeros((n_sl,), jnp.int32).at[:cnt].set(
+                    jax.lax.dynamic_slice(recv_h, (base,), (cnt,))
+                )
                 if not key_value:
                     kh = bitonic.merge_slots_u32(
-                        kh, slot=S, chunk=chunkc, interpret=interpret
+                        kh, sizes_sl, slot=S, chunk=chunkc,
+                        interpret=interpret,
                     )
                     return pad_m(kh, 0xFFFFFFFF), None, r_h
                 vbuf = jnp.zeros((n_sl * S,), vs.dtype)
                 vh = _ragged_a2a(vs, vbuf, in_off, send_h, off_h,
                                  recv_h, n_dev, axis)
-                sizes_sl = jnp.zeros((n_sl,), jnp.int32).at[:cnt].set(
-                    jax.lax.dynamic_slice(recv_h, (base,), (cnt,))
-                )
                 kh, vh = bitonic.merge_slots_pairs(
                     kh, vh, sizes_sl, slot=S, chunk=chunkc,
                     interpret=interpret,
