@@ -314,3 +314,17 @@ def test_merge_slots_keys_gated(rng):
         )
     )
     np.testing.assert_array_equal(got[: len(allk)], np.sort(allk))
+
+
+@pytest.mark.parametrize("n,chunk", [(600, 256), (768, 256), (1543, 256)])
+def test_trailing_skip_desc_group_shapes(rng, n, chunk):
+    """Adversarial shapes for the trailing-sentinel block skip: the
+    genuine region ends where a DESCENDING merge group pairs
+    partial-genuine blocks with skipped all-sentinel blocks (genuine data
+    transits the skipped region mid-network and must still come back
+    sorted). Chip-verified at ragged 2^21; these pin the windows in CI."""
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(
+        bitonic.sort_u32(jnp.asarray(keys), chunk=chunk, interpret=True)
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))
