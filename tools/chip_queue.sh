@@ -60,6 +60,11 @@ run ce_indep_keys 1200 env VRS_CE_IMPL=indep \
 run prof_keys 1200 python tools/profile_fused.py keys 25
 run prof_kv 1800 python tools/profile_fused.py kv 25
 
+# 7e. slot-merge kernels on chip (SMEM gate Mosaic lowering has never
+#     executed; the distributed pipeline auto-enables it) + the
+#     single-chip merge-vs-full-resort A/B at the v5e-16 slot geometry
+run merge_check 1800 python tools/probes/merge_chip_check.py 24
+
 # 8. refreshed sweep curves with the round-2 engine (packed-lazy KV,
 #    lo/hi lex CE) — keys + stable kv + kvns, 8 sizes (compile-heavy on
 #    first run; the persistent cache amortizes reruns)
