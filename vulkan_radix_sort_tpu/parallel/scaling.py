@@ -240,6 +240,24 @@ def dcn_report(mesh2d, n: int, config: SortConfig | None = None,
     t_both = marginal_time(f_exch_sort, sorted_keys, iters=iters)
     t_exch = max(t_both - t_resort, 0.0)
     t_full = marginal_time(full, keys, iters=iters)
+
+    t_full_merge = None
+    if use_pallas:
+        # A/B the slotted hop-B + merge re-sort (same eager fit-check
+        # discipline as the packed pipeline above)
+        def _mentry(k):
+            return D._sort_entry(
+                k, jnp.zeros_like(k), jnp.uint32(0), mesh=mesh2d,
+                config=config, key_value=False, use_pallas=use_pallas,
+                overlap=False, has_count=False, dcn_slack=dcn_slack,
+                merge_resort=True,
+            )
+
+        okm = jax.jit(lambda k: _mentry(k)[2])(keys)
+        if bool(np.asarray(okm)[0]):
+            t_full_merge = marginal_time(
+                jax.jit(lambda k: _mentry(k)[0]), keys, iters=iters
+            )
     traffic = jax.shard_map(
         traffic_shard, mesh=mesh2d, in_specs=(spec,),
         out_specs=jax.sharding.PartitionSpec(), check_vma=False,
@@ -248,7 +266,7 @@ def dcn_report(mesh2d, n: int, config: SortConfig | None = None,
     total_bytes = int(traffic[1]) * 4
 
     parts = t_local + t_exch + t_resort
-    return {
+    rep = {
         "n": n,
         "mesh": (H, C),
         "local_sort_s": t_local,
@@ -263,6 +281,9 @@ def dcn_report(mesh2d, n: int, config: SortConfig | None = None,
         "dcn_slack": dcn_slack,
         "use_pallas": use_pallas,
     }
+    if t_full_merge is not None:
+        rep["full_merge_s"] = t_full_merge
+    return rep
 
 
 def scaling_report(m_per_device: int, device_counts=None,
