@@ -901,6 +901,12 @@ def sort_pairs_sharded(keys, values, mesh: Mesh,
     compacted (genuine elements form a contiguous prefix that a stable
     local sort preserves, fill keys being the maximum), and the final
     merge places lower-ranked sources first on equal keys.
+
+    merge_resort (None = auto on eager Pallas runs) applies here too: the
+    stable tiebreak becomes (slot, intra-slot position) == (source rank,
+    intra-source order), so the merge-rounds-only re-sort preserves the
+    exact same stable contract; skewed exchanges fall back to the packed
+    full re-sort.
     """
     if use_pallas is None:
         use_pallas = _default_use_pallas(config)
