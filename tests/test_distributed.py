@@ -550,3 +550,28 @@ class TestMergeResort:
         order = np.argsort(keys, kind="stable")
         np.testing.assert_array_equal(np.asarray(k), keys[order])
         np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+    def test_overlap_merge_non_pow2_mesh(self):
+        """D=5: next_pow2(half)*S < m, so the half merges are PADDED back
+        to the shard size — regression for the uint32 fill overflowing the
+        weak-typed pad argument (found by review; pow2 meshes never take
+        the pad branch)."""
+        mesh5 = distributed.make_mesh(5)
+        n = 5 * 1280
+        keys = datagen.generate_keys(n, seed=45)
+        got = np.asarray(
+            distributed.sort_sharded(
+                jnp.asarray(keys), mesh5, config=self._cfg(),
+                use_pallas=True, overlap=True, merge_resort=True,
+            )
+        )
+        np.testing.assert_array_equal(got, np.sort(keys))
+        vals = np.arange(n, dtype=np.uint32)
+        k2 = (keys & 0x3) * 0x40000001
+        gk, gv = distributed.sort_pairs_sharded(
+            jnp.asarray(k2), jnp.asarray(vals), mesh5, config=self._cfg(),
+            use_pallas=True, overlap=True, merge_resort=True,
+        )
+        order = np.argsort(k2, kind="stable")
+        np.testing.assert_array_equal(np.asarray(gk), k2[order])
+        np.testing.assert_array_equal(np.asarray(gv), vals[order])

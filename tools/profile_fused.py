@@ -122,6 +122,9 @@ def _device_events(space_bytes):
 
 def main():
     kind = sys.argv[1] if len(sys.argv) > 1 else "keys"
+    if kind not in ("keys", "kv", "kvns"):
+        print(json.dumps({"error": f"unknown kind {kind!r}; use keys|kv|kvns"}))
+        return 2
     log2n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     chunk = 1 << (int(sys.argv[3]) if len(sys.argv) > 3 else 16)
     n = 1 << log2n

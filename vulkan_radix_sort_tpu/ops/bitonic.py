@@ -88,7 +88,10 @@ IDX_MASK = np.int32(~(LANES - 1))
 # (MODE_STABLE / MODE_W4_BIG) can be exercised at small n in tests; tests
 # may also monkeypatch the module global (use a unique (n, chunk) pair —
 # the jit cache is keyed on shapes + static args, not on this global).
-MAX_PACKED_N = int(_os.environ.get("VRS_MAX_PACKED_N", 1 << 25))
+# clamped: above 2^25 the aux packing overflows uint32 (idx<<7 wraps and
+# can collide with the sentinel), silently corrupting stable KV sorts
+MAX_PACKED_N = min(int(_os.environ.get("VRS_MAX_PACKED_N", 1 << 25)),
+                   1 << 25)
 
 # stage budget per emitted kernel, by carried-array count (multi-array
 # kernels cost ~2-4x the ops per stage so they get proportionally smaller
@@ -1004,16 +1007,20 @@ def stage_times_pairs(keys, values, chunk: int = 1 << 16, iters: int = 10,
 def stage_times_w64(hi, lo, values=None, chunk: int = 1 << 16,
                     iters: int = 10, stable: bool = True,
                     interpret: bool = False) -> dict:
-    """stage_times for the 64-bit (hi, lo) word-plane modes: MODE_W3
-    (stable=False or keys-only), MODE_W4 (packed stable carry), or
+    """stage_times for the 64-bit (hi, lo) word-plane modes: MODE_PAIRS
+    (values=None — the shipped wide keys-only pipeline is the 2-array
+    (hi, lo) lexicographic sort, not a 3-array carry), MODE_W3
+    (stable=False key-value), MODE_W4 (packed stable carry), or
     MODE_W4_BIG (plain index carry above MAX_PACKED_N)."""
     n = hi.shape[0]
     np2, C = _plan(n, chunk)
     h = _pad_pow2(jnp.asarray(hi, jnp.uint32), np2, 0xFFFFFFFF)
     l = _pad_pow2(jnp.asarray(lo, jnp.uint32), np2, 0xFFFFFFFF)
-    if values is None or not stable:
-        v = (jnp.zeros_like(h) if values is None else
-             _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0xFFFFFFFF))
+    if values is None:
+        return _stage_times_impl([h, l], MODE_PAIRS, n, np2, C, iters,
+                                 interpret)
+    if not stable:
+        v = _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0xFFFFFFFF)
         return _stage_times_impl([h, l, v], MODE_W3, n, np2, C, iters,
                                  interpret)
     v = _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0)

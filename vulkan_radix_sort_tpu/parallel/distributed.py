@@ -498,12 +498,23 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
                 return (merge_keys_halves(sA, sB),
                         jnp.zeros((0,), jnp.uint32), ok)
             if merge_resort:
-                # 4''*. slotted hop-B placement + merge-rounds re-sort
+                # 4''*. slotted hop-B placement + merge-rounds re-sort.
+                # ok carries TWO flags — [combined, staging-only] — so the
+                # host retry can tell slot overflow (drop the merge; no
+                # slack helps) from hop-A staging overflow (grow slack,
+                # KEEP the merge).
                 outs, okd = _staged_exchange(
                     arrs, sizes_all, in_off, H, C, m, dcn_slack, fills,
                     slot=S,
                 )
-                ok = jax.lax.pmin(okd.astype(jnp.int32), axis).reshape(1)
+                s4f = sizes_all.reshape(H, C, H, C)
+                staging_ok = (
+                    s4f.sum(axis=3).sum(axis=0).max() <= dcn_slack * m
+                )
+                ok = jnp.stack([
+                    jax.lax.pmin(okd.astype(jnp.int32), axis),
+                    jax.lax.pmin(staging_ok.astype(jnp.int32), axis),
+                ])
                 my_flat = (jax.lax.axis_index(DCN_AXIS) * C
                            + jax.lax.axis_index(ICI_AXIS))
                 recv_z = sizes_all[:, my_flat].astype(jnp.int32) * (
@@ -533,8 +544,6 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
             okm = sizes_all.max() <= S  # covers both halves (masked <=)
             z = okm.astype(jnp.int32)
             ok = okm.astype(jnp.int32).reshape(1)
-            chunkc = config.chunk if config is not None else 1 << 16
-
             def half_slotted(base, cnt):
                 n_sl = bitonic._next_pow2(cnt)
                 mask = (
@@ -556,8 +565,12 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
                 def pad_m(x, fill):
                     if x.shape[0] >= m:
                         return x[:m]
+                    # cast the fill: a bare 0xFFFFFFFF overflows the
+                    # weak-typed int32 argument parse (non-pow2 meshes
+                    # where the half slot buffer is smaller than m)
                     return jnp.pad(x, (0, m - x.shape[0]),
-                                   constant_values=fill)
+                                   constant_values=jnp.asarray(
+                                       fill, x.dtype))
 
                 r_h = recv_h.sum().astype(jnp.int32)
                 sizes_sl = jnp.zeros((n_sl,), jnp.int32).at[:cnt].set(
@@ -565,7 +578,7 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
                 )
                 if not key_value:
                     kh = bitonic.merge_slots_u32(
-                        kh, sizes_sl, slot=S, chunk=chunkc,
+                        kh, sizes_sl, slot=S, chunk=chunk,
                         interpret=interpret,
                     )
                     return pad_m(kh, 0xFFFFFFFF), None, r_h
@@ -573,7 +586,7 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
                 vh = _ragged_a2a(vs, vbuf, in_off, send_h, off_h,
                                  recv_h, n_dev, axis)
                 kh, vh = bitonic.merge_slots_pairs(
-                    kh, vh, sizes_sl, slot=S, chunk=chunkc,
+                    kh, vh, sizes_sl, slot=S, chunk=chunk,
                     interpret=interpret,
                 )
                 return pad_m(kh, 0xFFFFFFFF), pad_m(vh, 0), r_h
@@ -813,21 +826,28 @@ def _run_with_slack(keys, values, count, *, mesh, config, key_value,
             key_value=key_value, use_pallas=use_pallas, overlap=overlap,
             has_count=has_count, dcn_slack=slack, merge_resort=want_merge,
         )
-        if bool(ok[0]) if hasattr(ok, "shape") else bool(ok):
+        ok_arr = np.asarray(ok)
+        if bool(ok_arr[0]):
             return k, v
         if want_merge:
-            # the combined flag can't distinguish slot overflow from hop-A
-            # staging overflow; drop the merge first (same slack), then
-            # let the pure slack ladder below resolve the rest
-            if merge_resort:
-                raise ValueError(
-                    "merge_resort slot staging (2x even-share) or the "
-                    f"dcn_slack={slack} hop-A staging overflowed for this "
-                    "key distribution; pass merge_resort=None (auto "
-                    "fallback) or False"
-                )
-            want_merge = False
-            continue
+            staging_fine = ok_arr.shape[0] > 1 and bool(ok_arr[1])
+            if staging_fine:
+                # slot overflow only — no slack heals it; drop the merge
+                if merge_resort:
+                    raise ValueError(
+                        "merge_resort slot staging (2x even-share) "
+                        "overflowed for this key distribution; pass "
+                        "merge_resort=None (auto fallback) or False"
+                    )
+                want_merge = False
+                continue
+            # hop-A staging overflow: grow slack, KEEP the merge (at the
+            # slack where staging fits, a slot-only failure then drops it)
+            if not fixed and slack < cap:
+                slack = min(cap, slack * 2)
+                continue
+            if merge_resort and not fixed:
+                raise AssertionError("hierarchical staging overflow at cap")
         if fixed:
             raise ValueError(
                 f"dcn_slack={slack} staging buffer overflowed for this key "

@@ -45,12 +45,8 @@ def _stage_fns(mesh, config, use_pallas, overlap, m):
     would feed it its own unsorted output on iteration 2+ — non-monotone
     cuts, negative ragged sizes). The caller subtracts the separately
     chained re-sort time; the local sort is a distribution-oblivious
-    network, so its cost is identical either way."""
-    if D.AXIS not in mesh.shape:
-        raise ValueError(
-            "phase_report measures 1-D ('x') meshes; use dcn_report for a "
-            f"hierarchical ('dcn', 'ici') mesh (got axes {mesh.axis_names})"
-        )
+    network, so its cost is identical either way. (phase_report guards
+    against 2-D meshes before calling here.)"""
     n_dev = mesh.shape[D.AXIS]
     spec = jax.sharding.PartitionSpec(D.AXIS)
     targets = (jnp.arange(1, n_dev) * m).astype(jnp.int32)
