@@ -126,3 +126,34 @@ def test_float32_keys_nonstable_pairs():
             assert np.array_equal(got, want)
             assert np.array_equal(vn[start:i], np.sort(vn[start:i]))
             start = i
+
+
+def test_indirect_count_gating_small_prefix(rng):
+    """The count gate (indirect early-exit analog, upsweep.slang:20-22)
+    with a SMALL live prefix: most grid steps are gated to copies and the
+    output must still match the masked-sort contract bitwise."""
+    n = 4096
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    s = vrs.Sorter(n, config=CFG)
+    for m in (0, 1, 129, 1025):
+        got = np.asarray(s.sort(jnp.asarray(keys), count=m))
+        np.testing.assert_array_equal(got[:m], np.sort(keys[:m]))
+        np.testing.assert_array_equal(got[m:], keys[m:])
+
+
+def test_indirect_kv_count_gating(rng):
+    """Stable KV count gate: masked entries take the sentinel tiebreak
+    (constant blocks, skippable); genuine prefix stability must hold and
+    both tails are restored."""
+    n = 4096
+    keys = (rng.integers(0, 2**32, size=n, dtype=np.uint64) % 9).astype(
+        np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    s = vrs.Sorter(n, config=CFG)
+    m = 900
+    k, v = s.sort_key_value(jnp.asarray(keys), jnp.asarray(vals), count=m)
+    order = np.argsort(keys[:m], kind="stable")
+    np.testing.assert_array_equal(np.asarray(k)[:m], keys[:m][order])
+    np.testing.assert_array_equal(np.asarray(v)[:m], vals[:m][order])
+    np.testing.assert_array_equal(np.asarray(k)[m:], keys[m:])
+    np.testing.assert_array_equal(np.asarray(v)[m:], vals[m:])

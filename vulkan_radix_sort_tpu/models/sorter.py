@@ -62,18 +62,22 @@ def _pick_backend(cfg: SortConfig, max_n: int | None = None,
     return "network"
 
 
-def _sort_dispatch(backend, cfg, u):
+def _sort_dispatch(backend, cfg, u, count=None):
     if backend == "network":
-        return bitonic.sort_u32(u, chunk=cfg.chunk, interpret=cfg.interpret)
+        # count gates grid steps past the live prefix to a copy — the
+        # indirect early-exit analog (reference upsweep.slang:20-22)
+        return bitonic.sort_u32(u, count, chunk=cfg.chunk,
+                                interpret=cfg.interpret)
     if backend == "radix":
         return radix.sort_u32(u, config=cfg)
     return reference.sort_keys(u)
 
 
-def _sort_pairs_dispatch(backend, cfg, u, v, stable=True):
+def _sort_pairs_dispatch(backend, cfg, u, v, stable=True, count=None):
     if backend == "network":
         return bitonic.sort_pairs_u32(
-            u, v, chunk=cfg.chunk, interpret=cfg.interpret, stable=stable
+            u, v, count, chunk=cfg.chunk, interpret=cfg.interpret,
+            stable=stable,
         )
     # the other backends are stable by construction, which is a valid
     # (if unasked-for) answer to a stable=False request
@@ -273,7 +277,7 @@ class Sorter:
                 with jax.enable_x64(False):
                     if backend == "network":
                         hi, lo = bitonic.sort_pairs_u32(
-                            hi, lo, chunk=cfg.chunk,
+                            hi, lo, count, chunk=cfg.chunk,
                             interpret=cfg.interpret, stable=False,
                         )
                     else:
@@ -301,7 +305,7 @@ class Sorter:
                 # count-1. Same argument as the wide path above — no index
                 # carry needed (formerly a 2-array (masked, idx) sort at
                 # 52.6 ms vs ~23 ms at 2^25).
-                k = _sort_dispatch(backend, cfg, masked)
+                k = _sort_dispatch(backend, cfg, masked, count=count)
             return dec(jnp.where(in_range, k, u))
 
         return f
@@ -341,7 +345,7 @@ class Sorter:
                 with jax.enable_x64(False):
                     if backend == "network":
                         hi, lo, v = bitonic.sort_pairs_w64(
-                            hi, lo, mv, chunk=cfg.chunk,
+                            hi, lo, mv, count, chunk=cfg.chunk,
                             interpret=cfg.interpret, stable=stable,
                         )
                     else:
@@ -368,7 +372,7 @@ class Sorter:
                 k, _, v = jax.lax.sort((masked, idx, mv), num_keys=2)
             else:
                 k, v = _sort_pairs_dispatch(
-                    backend, cfg, masked, mv, stable=stable
+                    backend, cfg, masked, mv, stable=stable, count=count
                 )
             return dec(jnp.where(in_range, k, u)), jnp.where(in_range, v, values)
 

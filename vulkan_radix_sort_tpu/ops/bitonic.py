@@ -463,8 +463,10 @@ class _Carry:
 # --------------------------------------------------------------------------
 
 
-def _chunk_phases_body(C, pk_lo, pk_hi, mode, refs):
+def _chunk_phases_body(C, pk_lo, pk_hi, mode, refs, pid=None):
     c = _Carry(mode, refs)
+    if pid is None:
+        pid = pl.program_id(0)
     lc = _log2(C)
 
     def mask_of(spec):
@@ -481,7 +483,7 @@ def _chunk_phases_body(C, pk_lo, pk_hi, mode, refs):
         if pk == lc:
             # final phase: direction is bit log2(C) of the global index,
             # i.e. chunk parity — even chunks ascend, odd descend.
-            cur = ("scalar", _scalar_m32((pl.program_id(0) & 1) == 1))
+            cur = ("scalar", _scalar_m32((pid & 1) == 1))
         else:
             cur = ("bit", pk)
         use_t = c.can_transpose()
@@ -576,7 +578,7 @@ def _local_kernel_body(C, r, mode, refs, pid=None):
 # --------------------------------------------------------------------------
 
 
-def _fused_rounds_body(C, r_lo, r_hi, mode, refs):
+def _fused_rounds_body(C, r_lo, r_hi, mode, refs, pid=None):
     """Merge rounds r_lo..r_hi in one pass over a 2^r_hi-block group.
 
     A group of 2^g aligned blocks contains every pair interaction of rounds
@@ -585,6 +587,8 @@ def _fused_rounds_body(C, r_lo, r_hi, mode, refs):
     up to 2g.
     """
     c = _Carry(mode, refs)  # (G*rc, LANES), one whole group
+    if pid is None:
+        pid = pl.program_id(0)
     G = 1 << r_hi
     rows = c.words[0].shape[0]
     rc = rows // G
@@ -603,7 +607,7 @@ def _fused_rounds_body(C, r_lo, r_hi, mode, refs):
         # B = g*2^r_hi + b: for r < r_hi that is bit r of b (varies within
         # the group, a row mask); for r = r_hi it is the group parity.
         if r == r_hi:
-            cur = ("scalar", _scalar_m32((pl.program_id(0) & 1) == 1))
+            cur = ("scalar", _scalar_m32((pid & 1) == 1))
         else:
             cur = ("bit", lc + r)  # group-flat bit, layout-aware
         # masks are (re)built in the N layout: each round is forced there
@@ -669,11 +673,13 @@ def _fused_round_plan(C, nrounds, n_arrays, budget):
     return plan, r
 
 
-def _run_fused_rounds(arrs, C, r_lo, r_hi, mode, interpret, real_rows=None):
+def _run_fused_rounds(arrs, C, r_lo, r_hi, mode, interpret, real_rows=None,
+                      valid=None):
     body = functools.partial(_fused_rounds_body, C, r_lo, r_hi, mode)
     rc_super = (1 << r_hi) * (C // LANES)
     return _block_call(
-        lambda *refs: body(refs), arrs, rc_super, interpret, real_rows
+        lambda *refs, pid=None: body(refs, pid), arrs, rc_super, interpret,
+        real_rows, valid,
     )
 
 
@@ -757,7 +763,7 @@ def _block_call(body, arrs, rc, interpret, real_rows=None, valid=None):
     )(*call_args)
 
 
-def _run_chunk(arrs, C, mode, interpret, real_rows=None):
+def _run_chunk(arrs, C, mode, interpret, real_rows=None, valid=None):
     rc = C // LANES
     budget = _budget(mode.n_arrays)
     for group in _phase_groups(_log2(C), budget):
@@ -765,7 +771,8 @@ def _run_chunk(arrs, C, mode, interpret, real_rows=None):
             _chunk_phases_body, C, group[0], group[-1], mode
         )
         arrs = _block_call(
-            lambda *refs: body(refs), arrs, rc, interpret, real_rows
+            lambda *refs, pid=None: body(refs, pid), arrs, rc, interpret,
+            real_rows, valid,
         )
     return arrs
 
@@ -843,41 +850,68 @@ def _plan(n: int, chunk: int):
     return np2, C
 
 
-def _sort_padded(arrs, np2, C, mode, interpret, real_rows=None):
-    arrs = _run_chunk(arrs, C, mode, interpret, real_rows)
+def _sort_padded(arrs, np2, C, mode, interpret, real_rows=None, count=None):
+    """Full network over the padded arrays. `count` (traced scalar) gates
+    grid steps whose whole region lies past the live prefix — the analog
+    of the reference's indirect-dispatch early exit (upsweep.slang:20-22):
+    entries >= count are constant (max key, max tiebreak), every stage
+    maps an all-tied region to itself (the lex CE resolves ties to the
+    identity exchange even when riding values differ), so those steps
+    copy through instead of running the stage network."""
+
+    def prefix_valid(unit):
+        if count is None:
+            return None
+        k = np2 // unit
+        starts = jnp.arange(k, dtype=jnp.uint32) * jnp.uint32(unit)
+        return (starts < jnp.asarray(count, jnp.uint32)).astype(jnp.int32)
+
+    arrs = _run_chunk(arrs, C, mode, interpret, real_rows, prefix_valid(C))
     nrounds = _log2(np2 // C)
     budget = _budget(mode.n_arrays)
     plan, r_next = _fused_round_plan(C, nrounds, mode.n_arrays, budget)
     for r_lo, r_hi in plan:
         arrs = _run_fused_rounds(arrs, C, r_lo, r_hi, mode, interpret,
-                                 real_rows)
+                                 real_rows, prefix_valid(C << r_hi))
     for r in range(r_next, nrounds + 1):
-        arrs = _run_cross(arrs, C, r, mode, interpret, real_rows)
-        arrs = _run_local(arrs, C, r, mode, interpret, real_rows)
+        arrs = _run_cross(arrs, C, r, mode, interpret, real_rows,
+                          prefix_valid(C << r))
+        arrs = _run_local(arrs, C, r, mode, interpret, real_rows,
+                          prefix_valid(C))
     return arrs
 
 
-def _packed_aux(n, np2):
+def _packed_aux(n, np2, count=None):
     """aux = original index << 7 (origin field 0), sentinel 0xffffffff.
 
     Genuine aux tops out below 0xffffff80 for n < 2^25 and no padding
-    exists at n == 2^25, so sentinels always sort strictly last.
-    """
+    exists at n == 2^25, so sentinels always sort strictly last. With a
+    (traced) count, entries past the live prefix also take the sentinel
+    aux — making count-masked regions CONSTANT so the prefix gate can
+    skip them (their output order is irrelevant: the caller restores the
+    tail from the input)."""
     iot = jax.lax.iota(jnp.uint32, np2)
+    live = jnp.uint32(n) if count is None else jnp.minimum(
+        jnp.asarray(count, jnp.uint32), jnp.uint32(n)
+    )
     aux = jnp.where(
-        iot < n, iot << ROW_BITS, jnp.uint32(0xFFFFFFFF)
+        iot < live, iot << ROW_BITS, jnp.uint32(0xFFFFFFFF)
     )
     return aux.reshape(np2 // LANES, LANES)
 
 
-def _stable_idx(n, np2):
+def _stable_idx(n, np2, count=None):
     """Fallback tiebreak for n > 2^25: the plain original index. Pad
     entries are a CONSTANT 0x7fffffff: bigger than any real index (so
     genuine 0xffffffff keys sort ahead of the pad sentinels) and mutually
     equal, which makes every network stage map pure-sentinel regions to
-    themselves — the skipped-block aliasing relies on that."""
+    themselves — the skipped-block aliasing relies on that. count= as in
+    _packed_aux."""
     iot = jax.lax.iota(jnp.uint32, np2)
-    idx = jnp.where(iot < n, iot, jnp.uint32(0x7FFFFFFF))
+    live = jnp.uint32(n) if count is None else jnp.minimum(
+        jnp.asarray(count, jnp.uint32), jnp.uint32(n)
+    )
+    idx = jnp.where(iot < live, iot, jnp.uint32(0x7FFFFFFF))
     return idx.reshape(np2 // LANES, LANES)
 
 
@@ -1032,19 +1066,26 @@ def stage_times_w64(hi, lo, values=None, chunk: int = 1 << 16,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def sort_u32(keys, *, chunk: int = 1 << 16, interpret: bool = False):
-    """Ascending sort of uint32 keys via the bitonic network engine."""
+def sort_u32(keys, count=None, *, chunk: int = 1 << 16,
+             interpret: bool = False):
+    """Ascending sort of uint32 keys via the bitonic network engine.
+
+    count= (traced scalar) gates grid steps wholly past the live prefix
+    to a copy — the indirect early-exit analog (upsweep.slang:20-22).
+    The caller must have masked keys[count:] to 0xFFFFFFFF already (the
+    sorter's indirect path does); the gate only skips compute."""
     n = keys.shape[0]
     np2, C = _plan(n, chunk)
     arrs = [_pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF)]
-    arrs = _sort_padded(arrs, np2, C, MODE_KEYS, interpret, _cdiv(n, LANES))
+    arrs = _sort_padded(arrs, np2, C, MODE_KEYS, interpret, _cdiv(n, LANES),
+                        count=count)
     return arrs[0].reshape(-1)[:n]
 
 
 @functools.partial(
     jax.jit, static_argnames=("chunk", "interpret", "stable")
 )
-def sort_pairs_u32(keys, values, *, chunk: int = 1 << 16,
+def sort_pairs_u32(keys, values, count=None, *, chunk: int = 1 << 16,
                    interpret: bool = False, stable: bool = True):
     """Key-value sort (values ride as a separate 32-bit buffer).
 
@@ -1072,18 +1113,19 @@ def sort_pairs_u32(keys, values, *, chunk: int = 1 << 16,
             _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0xFFFFFFFF),
         ]
         arrs = _sort_padded(arrs, np2, C, MODE_PAIRS, interpret,
-                            _cdiv(n, LANES))
+                            _cdiv(n, LANES), count=count)
         return arrs[0].reshape(-1)[:n], arrs[1].reshape(-1)[:n]
 
     k = _pad_pow2(jnp.asarray(keys, jnp.uint32), np2, 0xFFFFFFFF)
     v = _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0)
     if n <= MAX_PACKED_N:
-        arrs = [k, _packed_aux(n, np2), v]
+        arrs = [k, _packed_aux(n, np2, count), v]
         mode = MODE_PACKED
     else:
-        arrs = [k, _stable_idx(n, np2), v]
+        arrs = [k, _stable_idx(n, np2, count), v]
         mode = MODE_STABLE
-    arrs = _sort_padded(arrs, np2, C, mode, interpret, _cdiv(n, LANES))
+    arrs = _sort_padded(arrs, np2, C, mode, interpret, _cdiv(n, LANES),
+                        count=count)
     return arrs[0].reshape(-1)[:n], arrs[2].reshape(-1)[:n]
 
 
@@ -1246,7 +1288,7 @@ def merge_slots_pairs(keys, values, sizes, *, slot: int,
 @functools.partial(
     jax.jit, static_argnames=("chunk", "interpret", "stable")
 )
-def sort_pairs_w64(hi, lo, values, *, chunk: int = 1 << 16,
+def sort_pairs_w64(hi, lo, values, count=None, *, chunk: int = 1 << 16,
                    interpret: bool = False, stable: bool = True):
     """64-bit-key key-value sort on (hi, lo) uint32 word planes.
 
@@ -1266,16 +1308,17 @@ def sort_pairs_w64(hi, lo, values, *, chunk: int = 1 << 16,
     if not stable:
         v = _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0xFFFFFFFF)
         arrs = _sort_padded([h, l, v], np2, C, MODE_W3, interpret,
-                            _cdiv(n, LANES))
+                            _cdiv(n, LANES), count=count)
         return tuple(a.reshape(-1)[:n] for a in arrs)
     v = _pad_pow2(jnp.asarray(values, jnp.uint32), np2, 0)
     if n <= MAX_PACKED_N:
-        arrs = [h, l, _packed_aux(n, np2), v]
+        arrs = [h, l, _packed_aux(n, np2, count), v]
         mode = MODE_W4
     else:
-        arrs = [h, l, _stable_idx(n, np2), v]
+        arrs = [h, l, _stable_idx(n, np2, count), v]
         mode = MODE_W4_BIG
-    arrs = _sort_padded(arrs, np2, C, mode, interpret, _cdiv(n, LANES))
+    arrs = _sort_padded(arrs, np2, C, mode, interpret, _cdiv(n, LANES),
+                        count=count)
     return (
         arrs[0].reshape(-1)[:n],
         arrs[1].reshape(-1)[:n],
