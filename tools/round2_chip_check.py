@@ -84,14 +84,15 @@ def main(which="all"):
     if which in ("indirect", "all"):
         from vulkan_radix_sort_tpu.models.sorter import create_sorter
 
-        c = n - 12345
         s = create_sorter(n, backend="network")
-        f = lambda a: s._sort_count_fn(a, jnp.uint32(c))  # noqa: E731
-        got = np.asarray(f(kj))
-        assert np.array_equal(got[:c], np.sort(keys[:c])), "indirect prefix"
-        assert np.array_equal(got[c:], keys[c:]), "indirect tail"
-        print("indirect keys verified (keys-only masked sort)")
-        report("keys_indirect", t3(f, kj))
+        for c in (n - 12345, n // 2, n // 8):
+            f = lambda a, c=c: s._sort_count_fn(a, jnp.uint32(c))  # noqa: E731
+            got = np.asarray(f(kj))
+            assert np.array_equal(got[:c], np.sort(keys[:c])), "indirect prefix"
+            assert np.array_equal(got[c:], keys[c:]), "indirect tail"
+            print(f"indirect keys verified (count={c})")
+            # prefix gating: expect time ~ c/n of the full sort
+            report(f"keys_indirect_{c}", t3(f, kj))
 
 
 if __name__ == "__main__":
