@@ -557,7 +557,7 @@ class TestMergeResort:
         weak-typed pad argument (found by review; pow2 meshes never take
         the pad branch)."""
         mesh5 = distributed.make_mesh(5)
-        n = 5 * 1280
+        n = 5 * 640
         keys = datagen.generate_keys(n, seed=45)
         got = np.asarray(
             distributed.sort_sharded(

@@ -145,7 +145,7 @@ def test_indirect_kv_count_gating(rng):
     """Stable KV count gate: masked entries take the sentinel tiebreak
     (constant blocks, skippable); genuine prefix stability must hold and
     both tails are restored."""
-    n = 4096
+    n = 2048
     keys = (rng.integers(0, 2**32, size=n, dtype=np.uint64) % 9).astype(
         np.uint32)
     vals = np.arange(n, dtype=np.uint32)

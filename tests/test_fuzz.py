@@ -15,7 +15,7 @@ def test_fuzz_small(rng):
     pairs (both arrays asserted) against the NumPy oracle."""
     dists = list(datagen.DISTRIBUTIONS)
     for trial in range(2):
-        n = int(rng.integers(1, 1 << 10))
+        n = int(rng.integers(1, 1 << 9))
         chunk = 1 << int(rng.integers(8, 10))
         dist = dists[trial % len(dists)]
         keys = datagen.generate_keys(n, seed=50 + trial, distribution=dist)

@@ -34,13 +34,13 @@ def test_dcn_report_fields_and_traffic():
     from vulkan_radix_sort_tpu.parallel import distributed, scaling
 
     mesh = distributed.make_mesh_2d(2, 4)
-    rep = scaling.dcn_report(mesh, 8 * 1024, iters=1)
+    rep = scaling.dcn_report(mesh, 8 * 512, iters=1)
     assert rep["mesh"] == (2, 4)
     assert rep["dcn_messages_per_chip"] == 1
     assert rep["flat_dcn_messages_per_chip"] == 4
     # uniform keys: about half the data crosses the host boundary, all of
     # it rides hop B; both bounded by the total volume
-    assert 0 < rep["dcn_bytes"] <= rep["hop_b_ici_bytes"] == 8 * 1024 * 4
+    assert 0 < rep["dcn_bytes"] <= rep["hop_b_ici_bytes"] == 8 * 512 * 4
     assert rep["full_s"] > 0
 
 

@@ -187,10 +187,10 @@ class TestSorterAPI:
         exists to predict (catching a dropped value/aux buffer) and stay
         below even the inflated total (catching absurd overestimates);
         the tight two-sided check runs on chip in the sibling test."""
-        n = (1 << 12) - 100  # non-power-of-two: estimator must pad
+        n = (1 << 11) - 100  # non-power-of-two: estimator must pad
         s = vrs.create_sorter(
             n, config=SortConfig(backend="network", interpret=True,
-                                 chunk=1 << 10)
+                                 chunk=1 << 9)
         )
         x = jnp.zeros((n,), jnp.uint32)
         for key_value, fn, args in (
@@ -322,9 +322,9 @@ class TestStageObservability:
         monkeypatch.setattr(timing, "marginal_time", fake_marginal)
         import vulkan_radix_sort_tpu.models.sorter as sorter_mod
         monkeypatch.setattr(sorter_mod, "marginal_time", fake_marginal)
-        n = 700
+        n = 300
         s = vrs.create_sorter(
-            max_n=n, config=SortConfig(backend="network", chunk=1 << 9,
+            max_n=n, config=SortConfig(backend="network", chunk=1 << 8,
                                        interpret=True)
         )
         keys = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
