@@ -65,6 +65,10 @@ run prof_kv 1800 python tools/profile_fused.py kv 25
 #     single-chip merge-vs-full-resort A/B at the v5e-16 slot geometry
 run merge_check 1800 python tools/probes/merge_chip_check.py 24
 
+# 7f. stable KV above the packed threshold: MODE_STABLE on chip
+#     (compile-heavy first run: new 2^26 size bucket)
+run bign_stable 2400 python tools/probes/bign_stable_check.py
+
 # 8. refreshed sweep curves with the round-2 engine (packed-lazy KV,
 #    lo/hi lex CE) — keys + stable kv + kvns, 8 sizes (compile-heavy on
 #    first run; the persistent cache amortizes reruns)
