@@ -109,12 +109,13 @@ def test_pairs_nonstable(dist, n):
     np.testing.assert_array_equal(np.asarray(v), vals[order])
 
 
-@pytest.mark.slow  # opt-in engine path, chip-gated decision (VRS_TRANSPOSE)
+@pytest.mark.slow  # default-on engine path since round 3 (chip-verified)
 def test_transposed_layout_chunk(rng, monkeypatch):
     """chunk >= 2^14 engages the 128x128 tile-transpose layout that
     sublane-executes each run's bits 6..0 tail; single-chunk keys sort
     covering the T<->N switches per phase (incl. short-head phases that
-    stay in T). (Opt-in engine path, forced on and traced fresh here.)"""
+    stay in T). (Forced on so the test stays meaningful under any
+    VRS_TRANSPOSE env; the shipped default is on.)"""
     monkeypatch.setattr(bitonic, "TRANSPOSE_OPT", True)
     n = 1 << 14
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)

@@ -114,7 +114,10 @@ MAX_GROUP_STAGES_W4 = int(_os.environ.get("VRS_MAX_GROUP_STAGES_W4", 30))
 # bits 7..13 to lane — on inverted stage-cost measurements and regressed
 # keys 24.7 -> 38.4 ms; tools/probes/probe_transpose_slope.py prices the
 # in-kernel transpose itself.) Requires blocks of >= 128 rows (C >= 2^14).
-TRANSPOSE_OPT = _os.environ.get("VRS_TRANSPOSE", "0") == "1"
+# Default ON since the round-3 chip window: keys 24.18 -> 14.53 ms and
+# kvns 49.7 -> 32.3 ms at 2^25 with the unrolled lowering, bitwise
+# verified (bench_results/chip_queue.log, docs/PERFORMANCE.md round 3).
+TRANSPOSE_OPT = _os.environ.get("VRS_TRANSPOSE", "1") == "1"
 # phases whose head (bits >= 7) is at most this many stages skip the
 # round-trip to N and lane-execute the head in T: two tile transposes
 # cost more than that few +2 ps/stage lane penalties
@@ -128,9 +131,12 @@ T_MODES = _os.environ.get("VRS_T_MODES", "noride")
 # tile-transpose lowering: "batched" = one (G,128,128) jnp.transpose,
 # "unrolled" = G static per-tile 2D transposes + concatenate. Mosaic
 # lowers these very differently (the batched form measured ~17x worse
-# than a single-tile transpose in the HBM-pass probe); pick per
-# tools/probes/probe_transpose_slope.py on the target chip generation.
-T_IMPL = _os.environ.get("VRS_T_IMPL", "batched")
+# than a single-tile transpose in the round-2 HBM-pass probe geometry);
+# pick per tools/probes/probe_transpose_slope.py on the target chip
+# generation. Default unrolled: the lowering behind the measured
+# round-3 keys/kvns wins (in-kernel slopes 0.84 vs 0.83 ps/elem are a
+# wash, but only unrolled was A/B'd end-to-end on chip).
+T_IMPL = _os.environ.get("VRS_T_IMPL", "unrolled")
 # single-array (keys) CE formulation: "dep" rolls the pair-max back by +sh
 # after the min/max (one roll on the stage's critical tail), "indep" uses
 # the identity max(x[i], x[i-sh]) == max(x, roll(x,+sh))[i] so both rolls
