@@ -317,6 +317,58 @@ def test_merge_slots_keys_gated(rng):
     np.testing.assert_array_equal(got[: len(allk)], np.sort(allk))
 
 
+@pytest.mark.parametrize(
+    "n", [8193, 8193 + 511, 12289, 16383 - 1024 + 7]
+)
+def test_unfused_trailing_skip_escape(rng, monkeypatch, n):
+    """Regression for the round-3 chip failure at np2=2^26 (bign_stable
+    exit=1): in UNFUSED merge rounds, a descending group containing the
+    genuine-data boundary moves genuine elements into its trailing blocks,
+    which the per-block prefix clip then skipped in the local pass. Small
+    shapes normally run fully fused (whole-group kernels, no escape), so
+    fusion is disabled here to pin the unfused path in CI. The shapes put
+    the boundary just past np2/2 where escape groups are descending."""
+    monkeypatch.setattr(bitonic, "MAX_FUSED_ROWS", 1)  # no fused rounds
+    chunk = 1 << 10
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(bitonic.sort_u32.__wrapped__(
+        jnp.asarray(keys), chunk=chunk, interpret=True))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_unfused_trailing_skip_escape_pairs(rng, monkeypatch):
+    """Same escape regression through the stable-KV carry (the mode the
+    chip failure was first observed in) and the count= gate."""
+    monkeypatch.setattr(bitonic, "MAX_FUSED_ROWS", 1)
+    chunk = 1 << 10
+    n = 8193 + 300
+    keys = (rng.integers(0, 2**32, size=n, dtype=np.uint64) % 1021).astype(
+        np.uint32)
+    vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    k, v = bitonic.sort_pairs_u32.__wrapped__(
+        jnp.asarray(keys), jnp.asarray(vals), chunk=chunk, interpret=True
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_unfused_trailing_skip_escape_count(rng, monkeypatch):
+    """count= (indirect) variant: the per-block prefix-valid gate had the
+    same per-block granularity hole; the boundary group at count ~10.5
+    blocks is descending at round 1."""
+    monkeypatch.setattr(bitonic, "MAX_FUSED_ROWS", 1)
+    chunk = 1 << 10
+    n = 1 << 14
+    count = 10 * chunk + 549
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    masked = keys.copy()
+    masked[count:] = 0xFFFFFFFF
+    got = np.asarray(bitonic.sort_u32.__wrapped__(
+        jnp.asarray(masked), jnp.uint32(count), chunk=chunk, interpret=True))
+    np.testing.assert_array_equal(got[:count], np.sort(keys[:count]))
+
+
 @pytest.mark.parametrize("n,chunk", [(600, 256), (768, 256), (1543, 256)])
 def test_trailing_skip_desc_group_shapes(rng, n, chunk):
     """Adversarial shapes for the trailing-sentinel block skip: the

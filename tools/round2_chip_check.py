@@ -1,7 +1,7 @@
 """Round-2 chip validation + timing: run each new engine path on the real
 TPU, verify bitwise against the oracle, and report marginal-timed ms.
 
-Usage: python tools/round2_chip_check.py [keys|kv|kvns|u64kv|indirect|all]
+Usage: python tools/round2_chip_check.py [keys|kv|kvns|u64kv|u64kvns|indirect|all]
 Env:   VRS_TRANSPOSE=0 to compare the non-transposed engine.
 """
 
@@ -67,11 +67,13 @@ def main(which="all"):
         print("kvns verified")
         report("kv_nonstable", t3(f, kj, vj))
 
-    if which in ("u64kv", "all"):
+    if which in ("u64kv", "u64kvns", "all"):
         k64 = rng.integers(0, 2**64, size=n, dtype=np.uint64)
         k64[rng.random(n) < 0.2] = np.uint64(0xDEAD00000000BEEF)
         hi = jnp.asarray((k64 >> 32).astype(np.uint32))
         lo = jnp.asarray((k64 & 0xFFFFFFFF).astype(np.uint32))
+
+    if which in ("u64kv", "all"):
         f = lambda a, b, c: bitonic.sort_pairs_w64(a, b, c, stable=True)  # noqa: E731
         gh, gl, gv = f(hi, lo, vj)
         order = np.argsort(k64, kind="stable")
@@ -80,6 +82,18 @@ def main(which="all"):
         assert np.array_equal(np.asarray(gv), vals[order]), "u64 kv vals"
         print("u64 stable kv verified")
         report("u64_kv_stable", t3(f, hi, lo, vj))
+
+    if which in ("u64kvns", "all"):
+        # MODE_W3 — the no-ride mode VRS_TRANSPOSE default-ON enables the
+        # T layout for; chip-gate it like the other T modes (ADVICE r3)
+        f = lambda a, b, c: bitonic.sort_pairs_w64(a, b, c, stable=False)  # noqa: E731
+        gh, gl, gv = f(hi, lo, vj)
+        order = np.lexsort((vals, k64))
+        got64 = (np.asarray(gh).astype(np.uint64) << 32) | np.asarray(gl)
+        assert np.array_equal(got64, k64[order]), "u64 kvns keys"
+        assert np.array_equal(np.asarray(gv), vals[order]), "u64 kvns vals"
+        print("u64 non-stable kv (w3) verified")
+        report("u64_kv_nonstable", t3(f, hi, lo, vj))
 
     if which in ("indirect", "all"):
         from vulkan_radix_sort_tpu.models.sorter import create_sorter

@@ -31,14 +31,18 @@ from ..ops import bitonic, bitops, radix, reference
 from ..utils.timing import StageTimes, marginal_time, time_fn
 
 
-# measured crossovers vs lax.sort on v5e (bench_results/results_v5e.png):
-# below these sizes XLA's sort wins and 'auto' uses it instead. The keys
-# cutoff was re-measured after sentinel-block skipping: the network wins
-# clearly from 2^18 up (2.1-2.2 vs 0.4-1.0 GItems/s at 2^18-2^19); below
-# that the tunnel's timing noise exceeds the difference, so XLA keeps the
-# small sizes.
+# measured crossovers vs lax.sort on v5e: below these sizes XLA's sort
+# wins and 'auto' uses it instead. The keys cutoff was re-measured after
+# sentinel-block skipping: the network wins clearly from 2^18 up (2.1-2.2
+# vs 0.4-1.0 GItems/s at 2^18-2^19); below that the tunnel's timing noise
+# exceeds the difference, so XLA keeps the small sizes. KV cutoffs come
+# from the round-3 chip sweep (bench_results/kv_cutoff_v5e.csv): stable kv
+# crosses at n=2^17 (network 0.119 vs xla 0.133 ms; 2^16 is within noise,
+# 0.053 vs 0.057) and non-stable kv (kvns) wins already at 2^16
+# (0.023 vs 0.059 ms).
 AUTO_NETWORK_MIN_KEYS = 1 << 18
-AUTO_NETWORK_MIN_KV = 1 << 21
+AUTO_NETWORK_MIN_KV = 1 << 17
+AUTO_NETWORK_MIN_KVNS = 1 << 16
 
 
 def _platform() -> str:
@@ -49,14 +53,15 @@ def _platform() -> str:
 
 
 def _pick_backend(cfg: SortConfig, max_n: int | None = None,
-                  key_value: bool = False) -> str:
+                  kind: str = "keys") -> str:
     if cfg.backend != "auto":
         # 'pallas' predates the network engine; keep it as an alias for the
         # radix pipeline so older configs stay valid.
         return "radix" if cfg.backend == "pallas" else cfg.backend
     if _platform() != "tpu":
         return "xla"
-    cut = AUTO_NETWORK_MIN_KV if key_value else AUTO_NETWORK_MIN_KEYS
+    cut = {"keys": AUTO_NETWORK_MIN_KEYS, "kv": AUTO_NETWORK_MIN_KV,
+           "kvns": AUTO_NETWORK_MIN_KVNS}[kind]
     if max_n is not None and max_n < cut:
         return "xla"
     return "network"
@@ -123,7 +128,8 @@ class Sorter:
         else:
             raise ValueError(f"unsupported key dtype {key_dtype}")
         self.backend = _pick_backend(self.config, self.max_n)
-        self.backend_kv = _pick_backend(self.config, self.max_n, key_value=True)
+        self.backend_kv = _pick_backend(self.config, self.max_n, kind="kv")
+        self.backend_kvns = _pick_backend(self.config, self.max_n, kind="kvns")
         if self.wide and self.backend == "radix":
             raise NotImplementedError(
                 "the radix backend does not support 64-bit keys; use "
@@ -216,7 +222,8 @@ class Sorter:
         return self._make_sort_pairs_fn(False)
 
     def _make_sort_pairs_fn(self, stable):
-        cfg, backend = self.config, self.backend_kv
+        cfg = self.config
+        backend = self.backend_kv if stable else self.backend_kvns
         enc, dec = self._encode, self._decode
 
         if self.wide:
@@ -319,7 +326,8 @@ class Sorter:
         return self._make_sort_pairs_count_fn(False)
 
     def _make_sort_pairs_count_fn(self, stable):
-        cfg, backend = self.config, self.backend_kv
+        cfg = self.config
+        backend = self.backend_kv if stable else self.backend_kvns
         enc, dec = self._encode, self._decode
 
         if self.wide:
@@ -483,7 +491,7 @@ class Sorter:
         t.total_ns = marginal_time(
             fn, keys, values, iters=max(3, iters // 3)
         ) * 1e9
-        if self.backend_kv != "network":
+        if (self.backend_kv if stable else self.backend_kvns) != "network":
             return t
         cfg = self.config
         if self.wide:

@@ -863,7 +863,21 @@ def _sort_padded(arrs, np2, C, mode, interpret, real_rows=None, count=None):
     entries >= count are constant (max key, max tiebreak), every stage
     maps an all-tied region to itself (the lex CE resolves ties to the
     identity exchange even when riding values differ), so those steps
-    copy through instead of running the stage network."""
+    copy through instead of running the stage network.
+
+    Skip granularity invariant (the round-3 chip bug at np2=2^26): once
+    merge round r's CROSS stages run on the group containing the genuine
+    boundary, a DESCENDING boundary group moves genuine elements to its
+    TRAILING blocks — past the naive per-block prefix clip. Every skip
+    decision after the chunk phase must therefore be made at the round's
+    GROUP granularity (2^r blocks), never per block: genuine data is
+    confined to [0, group-ceil(boundary)) at all times (cross moves data
+    only within groups, and the boundary group of round r+1 contains the
+    boundary group of round r), so group-ceiled local coverage restores
+    bitwise equality with the unskipped network. Fused kernels already
+    work at 2^r_hi-group granularity. Validated by exhaustive shape sweep
+    (group-ceil: 0/168 ragged-shape failures vs 136/168 for the per-block
+    clip) and on-chip at n = 2^25 + 4096."""
 
     def prefix_valid(unit):
         if count is None:
@@ -871,6 +885,22 @@ def _sort_padded(arrs, np2, C, mode, interpret, real_rows=None, count=None):
         k = np2 // unit
         starts = jnp.arange(k, dtype=jnp.uint32) * jnp.uint32(unit)
         return (starts < jnp.asarray(count, jnp.uint32)).astype(jnp.int32)
+
+    def group_valid(r):
+        # per-C-block validity at 2^r-group granularity: a block is live
+        # iff its round-r group starts before the live prefix
+        if count is None:
+            return None
+        k = np2 // C
+        gstart = ((jnp.arange(k, dtype=jnp.uint32) >> r) << r) * jnp.uint32(C)
+        return (gstart < jnp.asarray(count, jnp.uint32)).astype(jnp.int32)
+
+    def group_rows(r):
+        # real_rows rounded up to the round's group granularity
+        if real_rows is None:
+            return None
+        unit = (C << r) // LANES
+        return _cdiv(real_rows, unit) * unit
 
     arrs = _run_chunk(arrs, C, mode, interpret, real_rows, prefix_valid(C))
     nrounds = _log2(np2 // C)
@@ -882,8 +912,8 @@ def _sort_padded(arrs, np2, C, mode, interpret, real_rows=None, count=None):
     for r in range(r_next, nrounds + 1):
         arrs = _run_cross(arrs, C, r, mode, interpret, real_rows,
                           prefix_valid(C << r))
-        arrs = _run_local(arrs, C, r, mode, interpret, real_rows,
-                          prefix_valid(C))
+        arrs = _run_local(arrs, C, r, mode, interpret, group_rows(r),
+                          group_valid(r))
     return arrs
 
 
@@ -987,9 +1017,12 @@ def _stage_times_impl(arrs, mode, n, np2, C, iters, interpret) -> dict:
         kernels.append((f"cross[r{r}]", t))
         t_cross += t
         arrs = jax.tree.leaves(f_cross(*arrs))
+        # local coverage at group granularity, mirroring _sort_padded's
+        # skip invariant (see its docstring)
+        rr_g = _cdiv(rr, (C << r) // LANES) * ((C << r) // LANES)
         f_local = jax.jit(
-            lambda *xs, r=r: _untuple(_run_local(list(xs), C, r, mode,
-                                                 interpret, rr))
+            lambda *xs, r=r, rr_g=rr_g: _untuple(
+                _run_local(list(xs), C, r, mode, interpret, rr_g))
         )
         t = time_fn(f_local, arrs)
         kernels.append((f"local[r{r}]", t))
