@@ -110,13 +110,16 @@ def test_pairs_nonstable(dist, n):
 
 
 @pytest.mark.slow  # default-on engine path since round 3 (chip-verified)
-def test_transposed_layout_chunk(rng, monkeypatch):
+@pytest.mark.parametrize("t_impl", ["unrolled", "batched"])
+def test_transposed_layout_chunk(rng, monkeypatch, t_impl):
     """chunk >= 2^14 engages the 128x128 tile-transpose layout that
     sublane-executes each run's bits 6..0 tail; single-chunk keys sort
     covering the T<->N switches per phase (incl. short-head phases that
-    stay in T). (Forced on so the test stays meaningful under any
-    VRS_TRANSPOSE env; the shipped default is on.)"""
+    stay in T). Both tile-transpose lowerings are pinned (the default is
+    unrolled; batched stays selectable via VRS_T_IMPL). (Forced on so the
+    test stays meaningful under any VRS_TRANSPOSE env.)"""
     monkeypatch.setattr(bitonic, "TRANSPOSE_OPT", True)
+    monkeypatch.setattr(bitonic, "T_IMPL", t_impl)
     n = 1 << 14
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
     got = np.asarray(

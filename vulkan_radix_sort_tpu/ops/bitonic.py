@@ -122,12 +122,16 @@ TRANSPOSE_OPT = _os.environ.get("VRS_TRANSPOSE", "1") == "1"
 # round-trip to N and lane-execute the head in T: two tile transposes
 # cost more than that few +2 ps/stage lane penalties
 T_STAY = int(_os.environ.get("VRS_T_STAY", 1))
-# which carry families the T layout applies to: "noride" (default)
-# excludes the riding-value modes — the packed-lazy carry profits from
-# LANE stages (the value idles through them and pays one gather per run),
-# so all-sublane execution is a keys-shaped trade — "all" includes them
-# (the value then moves on every sublane stage but each move is cheap)
-T_MODES = _os.environ.get("VRS_T_MODES", "noride")
+# which carry families the T layout applies to: "all" (default) includes
+# the riding-value modes, "noride" excludes them. The packed-lazy carry
+# profits from LANE stages (the value idles through them and pays one
+# gather per run), so all-sublane execution looked like a keys-shaped
+# trade — but the chip A/B says the cheap sublane value moves win:
+# stable kv at 2^25 is 46.8 ms under "all" vs 60.4 under "noride", both
+# bitwise-verified (bench_results/chip_queue.log r4_kv_all / round 3
+# t_kv_unrolled). Non-lazy ride carries (MODE_STABLE / MODE_W4_BIG) move
+# the value on every stage either way, so T is a pure win there.
+T_MODES = _os.environ.get("VRS_T_MODES", "all")
 # tile-transpose lowering: "batched" = one (G,128,128) jnp.transpose,
 # "unrolled" = G static per-tile 2D transposes + concatenate. Mosaic
 # lowers these very differently (the batched form measured ~17x worse
