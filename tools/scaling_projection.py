@@ -27,7 +27,10 @@ import math
 import os
 
 # ---- measured single-chip constants (v5e, docs/PERFORMANCE.md) ----------
-TAU_STAGE_S = 24.7e-3 / (325 * (1 << 25))  # s per element per stage-pass
+# round-4 refresh: the T-layout engine runs keys at 14.7 ms / 325
+# stage-passes at 2^25 under pure defaults (bench.py r4, chip_queue.log
+# r4_bench_defaults) — the round-2 constant was 24.7 ms pre-T
+TAU_STAGE_S = 14.7e-3 / (325 * (1 << 25))  # s per element per stage-pass
 HBM_STREAM_GBS = 342e9                     # measured sequential-grid copy
 # ---- public interconnect specs ------------------------------------------
 ICI_LINK_GBS = 45e9     # v5e ICI, per link per direction (2-D torus)
@@ -180,8 +183,10 @@ the falsifiable stand-in for the BASELINE >=80% scaling target, built from
 
 - **exact stage counts** (the network is oblivious: stage count x
   per-stage cost IS the runtime, no distribution variance),
-- **chip-measured constants**: 2.266 ps/elem/stage-pass and 342 GB/s HBM
-  streaming (docs/PERFORMANCE.md, v5e round-2 table),
+- **chip-measured constants**: 1.349 ps/elem/stage-pass (the round-4
+  T-layout engine: 14.7 ms / 325 stage-passes at 2^25 under pure
+  defaults, chip_queue.log r4_bench_defaults; the round-2/3 projections
+  used the pre-T 2.266) and 342 GB/s HBM streaming,
 - **public interconnect specs**: v5e ICI 2-D torus at ~45 GB/s per link
   per direction; 200 Gbps host NIC for DCN,
 - **exact exchange volumes**: uniform keys move (D-1)/D of each shard;
@@ -214,10 +219,23 @@ DOC_EPILOGUE = """
   (`tests/test_distributed.py::TestMergeResort`).
 - **merge+overlap** additionally hides the collective behind the half
   merges (`overlap=True` + `merge_resort`: two slotted half-exchanges,
-  each merge-finished — implemented, same test class). Projected to
-  clear the 80% (nlogn) bar on v5e-16 with margin; the naive metric
+  each merge-finished — implemented, same test class). The naive metric
   cannot reach 80% for any comparison sort at D=16 (L(2^30)/L(2^26) =
   1.32 of inherent extra work).
+- **Round-4 shift: the re-sort is now HBM-bound.** The T layout cut the
+  compute constant 1.68x, so the merge re-sort's floor is no longer its
+  stage count but its memory traffic (unfused rounds pay 2 read+write
+  passes over the 2m slot buffer each, plus the odd-slot reversal pass)
+  — 25.1 ms of the 56.9 ms total. Aggregate throughput projects HIGHER
+  than round 3 (13.7 -> 18.9 GItems/s, 1.56x the reference's
+  single-GPU 12.07 headline) while nlogn efficiency drops 0.90 -> 0.74,
+  below the 80% bar. The identified lever (round 5): fill-gated blocks
+  currently still pay their DMA round trip — a manual-DMA local kernel
+  (pltpu.make_async_copy conditioned on the SMEM validity word, instead
+  of BlockSpec auto-pipelining) would skip ~half the local-pass traffic
+  and fusing the reversal into the first cross read saves 2 more
+  buffer passes: modeled together they put the total at ~51 ms /
+  0.83 eff / 21 GItems/s.
 - The DCN row shows the 2-host NIC tier dominating the exchange; the
   hierarchical router's consolidation (H-1 messages/chip) keeps the
   volume at the exact (H-1)/H fraction shown.
