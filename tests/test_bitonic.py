@@ -155,6 +155,33 @@ def test_transposed_layout_rounds_and_pairs(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(gv), vals[order])
 
 
+@pytest.mark.slow
+def test_transposed_layout_w64(rng, monkeypatch):
+    """T layout through the 64-bit word carry at a chunk size that
+    engages it (chunk >= 2^14): MODE_W3 (stable=False — the no-ride mode
+    the round-3 default flip turned on unverified, ADVICE r3; since
+    chip-verified, chip_queue.log r4_w3_default). Duplicate-heavy hi
+    words force lo-word comparisons through the layout switches. MODE_W4
+    under T is covered on chip (r4_w4_all) — its 4-array interpret run
+    is too slow for CI."""
+    monkeypatch.setattr(bitonic, "TRANSPOSE_OPT", True)
+    monkeypatch.setattr(bitonic, "T_MODES", "all")
+    n = 1 << 14
+    full = rng.integers(0, 7, size=n, dtype=np.uint64) << 32
+    full |= rng.integers(0, 2**32, size=n, dtype=np.uint64)
+    hi = (full >> 32).astype(np.uint32)
+    lo = (full & 0xFFFFFFFF).astype(np.uint32)
+    vals = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    h, l, v = bitonic.sort_pairs_w64.__wrapped__(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(vals),
+        chunk=1 << 14, interpret=True, stable=False,
+    )
+    got = (np.asarray(h).astype(np.uint64) << 32) | np.asarray(l)
+    order = np.lexsort((vals, full))
+    np.testing.assert_array_equal(got, full[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
 def test_pairs_nonstable_max_keys_and_values():
     """Genuine 0xffffffff keys/values must survive sentinel padding."""
     n = (1 << 11) + 5
@@ -318,6 +345,43 @@ def test_merge_slots_keys_gated(rng):
         )
     )
     np.testing.assert_array_equal(got[: len(allk)], np.sort(allk))
+
+
+def test_merge_slots_dma_gated(rng, monkeypatch):
+    """VRS_DMA_GATE path: the manual-DMA kernel (HBM refs + VMEM scratch +
+    per-array semaphores) must match the auto-pipelined gated kernel
+    bitwise on the slot merge, including slots that are pure fill."""
+    monkeypatch.setattr(bitonic, "DMA_GATE", True)
+    n_slots, S = 8, 512
+    sizes = rng.integers(0, S + 1, n_slots)
+    sizes[2], sizes[5] = 0, S
+    kbuf = np.full((n_slots, S), 0xFFFFFFFF, np.uint32)
+    vbuf = np.zeros((n_slots, S), np.uint32)
+    vc = 0
+    for s in range(n_slots):
+        g = np.sort(rng.integers(0, 97, sizes[s]).astype(np.uint32))
+        kbuf[s, : sizes[s]] = g
+        vbuf[s, : sizes[s]] = np.arange(vc, vc + sizes[s], dtype=np.uint32)
+        vc += sizes[s]
+    allk = np.concatenate([kbuf[s, : sizes[s]] for s in range(n_slots)])
+    allv = np.concatenate([vbuf[s, : sizes[s]] for s in range(n_slots)])
+    perm = np.argsort(allk, kind="stable")
+    gk, gv = bitonic.merge_slots_pairs.__wrapped__(
+        jnp.asarray(kbuf.reshape(-1)), jnp.asarray(vbuf.reshape(-1)),
+        jnp.asarray(sizes.astype(np.int32)), slot=S, chunk=1 << 10,
+        interpret=True,
+    )
+    m = len(allk)
+    np.testing.assert_array_equal(np.asarray(gk)[:m], allk[perm])
+    np.testing.assert_array_equal(np.asarray(gv)[:m], allv[perm])
+    got = np.asarray(
+        bitonic.merge_slots_u32.__wrapped__(
+            jnp.asarray(kbuf.reshape(-1)),
+            jnp.asarray(sizes.astype(np.int32)),
+            slot=S, chunk=1 << 10, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got[:m], np.sort(allk))
 
 
 @pytest.mark.parametrize(

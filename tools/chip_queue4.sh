@@ -18,6 +18,12 @@ run() { # run <name> <timeout_s> <cmd...>
 
 run r4_split_ab 3600 python tools/probes/split_ab.py
 run r4_bign_defaults 2400 python tools/probes/bign_stable_check.py
+# manual-DMA fill gating A/B (docs/SCALING_PROJECTION.md round-4 lever):
+# same probe, gate off vs on — flip the VRS_DMA_GATE default if verified
+# AND faster
+run r4_merge_base 2400 python tools/probes/merge_chip_check.py 24
+run r4_merge_dmagate 2400 env VRS_DMA_GATE=1 \
+    python tools/probes/merge_chip_check.py 24
 # full-breadth sweep at driver fidelity (VERDICT #8): 32 steps, all three
 # kinds, pure defaults — the analog of the reference's media/results.png
 run r4_sweep32 14000 python -m vulkan_radix_sort_tpu.bench network \

@@ -229,13 +229,17 @@ DOC_EPILOGUE = """
   — 25.1 ms of the 56.9 ms total. Aggregate throughput projects HIGHER
   than round 3 (13.7 -> 18.9 GItems/s, 1.56x the reference's
   single-GPU 12.07 headline) while nlogn efficiency drops 0.90 -> 0.74,
-  below the 80% bar. The identified lever (round 5): fill-gated blocks
-  currently still pay their DMA round trip — a manual-DMA local kernel
-  (pltpu.make_async_copy conditioned on the SMEM validity word, instead
-  of BlockSpec auto-pipelining) would skip ~half the local-pass traffic
-  and fusing the reversal into the first cross read saves 2 more
-  buffer passes: modeled together they put the total at ~51 ms /
-  0.83 eff / 21 GItems/s.
+  below the 80% bar. The candidate levers and their round-4 status:
+  a manual-DMA local kernel that skips fill-gated blocks' round trips
+  is implemented (`VRS_DMA_GATE`) and chip-correct but MEASURED SLOWER
+  (5.67 vs 5.37 ms on the 2^24 single-chip proxy, chip_queue.log
+  r4_merge_dmagate) — without double buffering the lost copy/compute
+  overlap outweighs the skipped traffic, so the default stays off and
+  a round-5 attempt needs prefetch-next-live-block pipelining; fusing
+  the odd-slot reversal into the exchange's send-buffer build (flip at
+  the source, mirrored offsets) saves 2 buffer passes and remains
+  unbuilt. The modeled combination (~51 ms / 0.83 eff / 21 GItems/s)
+  is therefore a design target, not an implemented number.
 - The DCN row shows the 2-host NIC tier dominating the exchange; the
   hierarchical router's consolidation (H-1 messages/chip) keeps the
   volume at the exact (H-1)/H fraction shown.

@@ -17,7 +17,7 @@ from .config import SortConfig, default_config
 from .models.sorter import Sorter, create_sorter
 from .ops import bitonic, radix, reference
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "SortConfig",

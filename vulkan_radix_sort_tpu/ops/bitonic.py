@@ -736,6 +736,74 @@ def _gate_body(body, n):
     return wrapped
 
 
+# Manual-DMA gating for valid-gated per-block kernels: skip the HBM round
+# trip of gated blocks entirely (the BlockSpec auto-pipeline always DMAs
+# every grid step; with in->out aliasing a gated block is already correct
+# in place, so the only way to not pay its bandwidth is to own the DMAs).
+# Default off pending the chip A/B in tools/chip_queue4.sh — the manual
+# path serializes DMA with compute per live block (no double buffering),
+# so it wins only when the fill fraction outweighs the lost overlap.
+DMA_GATE = _os.environ.get("VRS_DMA_GATE", "0") == "1"
+
+
+def _block_call_dma_gated(body, arrs, rc, interpret, valid):
+    """Valid-gated per-block kernel that skips BOTH the stage network and
+    the HBM round trip for gated blocks.
+
+    Inputs/outputs live in ANY (HBM) memory space, aliased in->out; each
+    live grid step DMAs its block into VMEM scratch, runs the network on
+    the scratch refs (read-before-write, so passing the same refs as in
+    and out is sound), and DMAs it back. Gated blocks move zero bytes —
+    the distributed slot-merge's fill blocks (~half the buffer at slack
+    2) stop costing bandwidth, which is the binding resource there
+    (docs/SCALING_PROJECTION.md round-4 note)."""
+    rows_total = arrs[0].shape[0]
+    nblocks = rows_total // rc
+    n = len(arrs)
+
+    def kernel(vref, *refs):
+        ins, outs = refs[:n], refs[n: 2 * n]
+        scratch, sems = refs[2 * n: 3 * n], refs[3 * n:]
+        p = pl.program_id(0)
+
+        @pl.when(vref[p] != 0)
+        def _():
+            for i in range(n):
+                pltpu.make_async_copy(
+                    ins[i].at[pl.ds(p * rc, rc)], scratch[i], sems[i]
+                ).start()
+            for i in range(n):
+                pltpu.make_async_copy(
+                    ins[i].at[pl.ds(p * rc, rc)], scratch[i], sems[i]
+                ).wait()
+            body(*scratch, *scratch, pid=p)
+            for i in range(n):
+                pltpu.make_async_copy(
+                    scratch[i], outs[i].at[pl.ds(p * rc, rc)], sems[i]
+                ).start()
+            for i in range(n):
+                pltpu.make_async_copy(
+                    scratch[i], outs[i].at[pl.ds(p * rc, rc)], sems[i]
+                ).wait()
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n,
+        out_shape=_out_shapes(n, arrs[0].shape),
+        input_output_aliases={i + 1: i for i in range(n)},
+        scratch_shapes=[pltpu.VMEM((rc, LANES), jnp.uint32)] * n
+        + [pltpu.SemaphoreType.DMA] * n,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), *arrs)
+
+
 def _block_call(body, arrs, rc, interpret, real_rows=None, valid=None):
     """Per-block kernel over the leading `real_rows` only.
 
@@ -744,8 +812,11 @@ def _block_call(body, arrs, rc, interpret, real_rows=None, valid=None):
     compute and HBM traffic — non-power-of-two sizes stop paying for their
     padding. `valid` ((nblocks,) int32) additionally gates INTERSPERSED
     fill blocks (the slot-merge path) to a cheap VMEM copy — they still
-    pay the HBM round trip, but not the stage network.
+    pay the HBM round trip, but not the stage network (unless VRS_DMA_GATE
+    routes them through the manual-DMA kernel, which skips both).
     """
+    if valid is not None and real_rows is None and DMA_GATE:
+        return _block_call_dma_gated(body, arrs, rc, interpret, valid)
     rows_total = arrs[0].shape[0]
     nblocks = rows_total // rc
     if real_rows is not None:
