@@ -112,7 +112,6 @@ def main():
     fn_kv = jax.jit(sort_kv)
     gk, gv = (np.asarray(x) for x in fn_kv(kj, vj))
     order = np.argsort(keys, kind="stable")
-    kv_fields = {}
     if np.array_equal(gk, keys[order]) and np.array_equal(gv, vals[order]):
         kv_est = [
             marginal_time(sort_kv, kj, vj, k1=2, k2=8, iters=4)

@@ -54,15 +54,15 @@ def test_auto_backend_cutoffs():
     assert sorter.AUTO_NETWORK_MIN_KV == 1 << 17
     assert sorter.AUTO_NETWORK_MIN_KVNS == 1 << 16
     cfg = config.SortConfig(backend="auto")
-    # kind routing: below its cutoff each kind falls back to xla
+    # kind routing: every kind resolves (the lookup precedes the platform
+    # check, so this is live on CPU CI too); unknown kinds raise
     for kind, cut in (("keys", 1 << 18), ("kv", 1 << 17), ("kvns", 1 << 16)):
         got = sorter._pick_backend(cfg, cut - 1, kind=kind)
-        # on non-TPU hosts auto is always xla; the kind routing is still
-        # exercised via the dict lookup above
-        assert got in ("xla", "network")
+        assert got == "xla"  # below the cutoff on TPU; always xla elsewhere
         if sorter._platform() == "tpu":
-            assert got == "xla"
             assert sorter._pick_backend(cfg, cut, kind=kind) == "network"
+    with pytest.raises(KeyError):
+        sorter._pick_backend(cfg, 1 << 20, kind="bogus")
 
 
 def test_budget_env_overrides():

@@ -58,10 +58,12 @@ def _pick_backend(cfg: SortConfig, max_n: int | None = None,
         # 'pallas' predates the network engine; keep it as an alias for the
         # radix pipeline so older configs stay valid.
         return "radix" if cfg.backend == "pallas" else cfg.backend
-    if _platform() != "tpu":
-        return "xla"
+    # validate `kind` before the platform check so a bad caller fails on
+    # every host, not just on TPU
     cut = {"keys": AUTO_NETWORK_MIN_KEYS, "kv": AUTO_NETWORK_MIN_KV,
            "kvns": AUTO_NETWORK_MIN_KVNS}[kind]
+    if _platform() != "tpu":
+        return "xla"
     if max_n is not None and max_n < cut:
         return "xla"
     return "network"
