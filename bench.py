@@ -124,7 +124,13 @@ def main():
             "kv_estimates_ms": [round(e * 1e3, 3) for e in kv_est],
         }
     else:
-        kv_fields = {"kv_error": "kv verification failed"}
+        # Mirror the keys path (ADVICE r4): a kv oracle mismatch is a
+        # failed gate, not a footnote — zero the metric and exit nonzero.
+        kv_fields = {
+            "kv_gitems_per_s": 0.0,
+            "kv_vs_baseline": 0.0,
+            "kv_error": "kv verification failed",
+        }
 
     print(json.dumps({
         "metric": "keys_gitems_per_s",
@@ -137,7 +143,7 @@ def main():
         "backend": backend,
         **kv_fields,
     }))
-    return 0
+    return 1 if "kv_error" in kv_fields else 0
 
 
 if __name__ == "__main__":

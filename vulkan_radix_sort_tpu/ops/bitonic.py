@@ -746,7 +746,7 @@ def _gate_body(body, n):
 DMA_GATE = _os.environ.get("VRS_DMA_GATE", "0") == "1"
 
 
-def _block_call_dma_gated(body, arrs, rc, interpret, valid):
+def _block_call_dma_gated(body, arrs, rc, interpret, valid, real_rows=None):
     """Valid-gated per-block kernel that skips BOTH the stage network and
     the HBM round trip for gated blocks.
 
@@ -757,6 +757,14 @@ def _block_call_dma_gated(body, arrs, rc, interpret, valid):
     the distributed slot-merge's fill blocks (~half the buffer at slack
     2) stop costing bandwidth, which is the binding resource there
     (docs/SCALING_PROJECTION.md round-4 note)."""
+    if real_rows is not None:
+        # Enforced here, not only at _block_call's routing guard (ADVICE
+        # r4): this kernel runs every block the valid mask allows and has
+        # no prefix clip — a caller passing real_rows would silently get
+        # full coverage instead of the clipped grid it asked for.
+        raise NotImplementedError(
+            "_block_call_dma_gated does not support real_rows; use the "
+            "BlockSpec path (_block_call with DMA_GATE off)")
     rows_total = arrs[0].shape[0]
     nblocks = rows_total // rc
     n = len(arrs)
