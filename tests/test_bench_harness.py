@@ -43,6 +43,15 @@ def test_correctness_gate_catches_bad_backend():
         harness.check_correctness(Bad(), 1 << 10)
 
 
+def test_torch_backend_measure_and_gate():
+    pytest.importorskip("torch")
+    b = harness.make_backend("torch")
+    harness.check_correctness(b, 1 << 10, nonstable=True)
+    res = [harness.measure(b, 1 << 10, s, iters=2) for s in ("keys", "kv")]
+    assert {r.sort for r in res} == {"keys", "kv"}
+    assert all(r.gpu_ms > 0 for r in res)
+
+
 def test_xla_backend_measure_and_gate():
     b = harness.make_backend("xla")
     harness.check_correctness(b, 1 << 12)

@@ -384,6 +384,66 @@ def test_merge_slots_dma_gated(rng, monkeypatch):
     np.testing.assert_array_equal(got[:m], np.sort(allk))
 
 
+def test_merge_slots_prearranged(rng):
+    """prearranged=True: odd slots arrive already DESCENDING in the slot
+    suffix (sender-side reversal at the exchange) and the merge must skip
+    its own reversal pass yet produce the identical stable result,
+    including the (source rank, intra-source order) tiebreak and gated
+    pure-fill slots."""
+    n_slots, S = 8, 512
+    sizes = rng.integers(0, S + 1, n_slots)
+    sizes[2], sizes[5] = 0, S
+    kbuf = np.full((n_slots, S), 0xFFFFFFFF, np.uint32)
+    vbuf = np.zeros((n_slots, S), np.uint32)
+    vnbuf = np.full((n_slots, S), 0xFFFFFFFF, np.uint32)  # nonstable fill
+    runs_k, runs_v, vc = [], [], 0
+    for s in range(n_slots):
+        g = np.sort(rng.integers(0, 97, sizes[s]).astype(np.uint32))
+        v = np.arange(vc, vc + sizes[s], dtype=np.uint32)
+        vc += int(sizes[s])
+        if s % 2 == 1:  # odd slot: reversed run in the suffix
+            kbuf[s, S - sizes[s]:] = g[::-1]
+            vbuf[s, S - sizes[s]:] = v[::-1]
+            vnbuf[s, S - sizes[s]:] = v[::-1]
+        else:
+            kbuf[s, : sizes[s]] = g
+            vbuf[s, : sizes[s]] = v
+            vnbuf[s, : sizes[s]] = v
+        runs_k.append(g)
+        runs_v.append(v)
+    allk, allv = np.concatenate(runs_k), np.concatenate(runs_v)
+    perm = np.argsort(allk, kind="stable")
+    m = len(allk)
+    sj = jnp.asarray(sizes.astype(np.int32))
+
+    got = np.asarray(bitonic.merge_slots_u32.__wrapped__(
+        jnp.asarray(kbuf.reshape(-1)), sj, slot=S, chunk=1 << 10,
+        interpret=True, prearranged=True,
+    ))
+    np.testing.assert_array_equal(got[:m], np.sort(allk))
+
+    gk, gv = bitonic.merge_slots_pairs.__wrapped__(
+        jnp.asarray(kbuf.reshape(-1)), jnp.asarray(vbuf.reshape(-1)), sj,
+        slot=S, chunk=1 << 10, interpret=True, prearranged=True,
+    )
+    np.testing.assert_array_equal(np.asarray(gk)[:m], allk[perm])
+    np.testing.assert_array_equal(np.asarray(gv)[:m], allv[perm])
+
+    gk, gv = bitonic.merge_slots_pairs.__wrapped__(
+        jnp.asarray(kbuf.reshape(-1)), jnp.asarray(vnbuf.reshape(-1)), sj,
+        slot=S, chunk=1 << 10, interpret=True, prearranged=True,
+        stable=False,
+    )
+    # nonstable contract: output multiset of pairs matches; keys sorted
+    np.testing.assert_array_equal(np.asarray(gk)[:m], allk[perm])
+    got_pairs = np.stack([np.asarray(gk)[:m], np.asarray(gv)[:m]], axis=1)
+    want_pairs = np.stack([allk, allv], axis=1)
+    np.testing.assert_array_equal(
+        got_pairs[np.lexsort(got_pairs.T[::-1])],
+        want_pairs[np.lexsort(want_pairs.T[::-1])],
+    )
+
+
 @pytest.mark.parametrize(
     "n", [8193, 8193 + 511, 12289, 16383 - 1024 + 7]
 )

@@ -179,7 +179,51 @@ class _CppBackend(_CpuBackend):
         return self._native.sort_pairs_u32_inplace, (kb, vb)
 
 
-BACKENDS = ("network", "radix", "xla", "cpu", "cpp")
+class _TorchBackend(_CpuBackend):
+    """torch (CPU) comparison backend — a second independent host
+    competitor beside the native C++ radix, widening the comparison set
+    the way the reference benches CUB and Fuchsia beside its own sort
+    (reference bench/benchmark_factory.cc:14-25). torch has no uint32
+    tensors, so keys/values round-trip through int64 outside the timed
+    region; only torch.sort(+gather) is timed, matching the reference's
+    CPU timing discipline (bench/cpu_benchmark.cc:22-25)."""
+
+    name = "torch"
+
+    def __init__(self):
+        import torch
+
+        self._torch = torch
+
+    def sort(self, keys):
+        t = self._torch.from_numpy(keys.astype(np.int64))
+        return self._torch.sort(t).values.numpy().astype(np.uint32)
+
+    def sort_key_value(self, keys, values, stable: bool = True):
+        torch = self._torch
+        k = torch.from_numpy(keys.astype(np.int64))
+        v = torch.from_numpy(values.astype(np.int64))
+        s, idx = torch.sort(k, stable=True)
+        return (
+            s.numpy().astype(np.uint32),
+            v[idx].numpy().astype(np.uint32),
+        )
+
+    def timed_fn(self, keys, values):
+        torch = self._torch
+        k = torch.from_numpy(keys.astype(np.int64))
+        if values is None:
+            return (lambda t: torch.sort(t)), (k,)
+        v = torch.from_numpy(values.astype(np.int64))
+
+        def f(kt, vt):
+            s, idx = torch.sort(kt, stable=True)
+            return s, vt[idx]
+
+        return f, (k, v)
+
+
+BACKENDS = ("network", "radix", "xla", "cpu", "cpp", "torch")
 
 
 def make_backend(name: str, config: SortConfig | None = None):
@@ -187,6 +231,8 @@ def make_backend(name: str, config: SortConfig | None = None):
         return _CpuBackend()
     if name == "cpp":
         return _CppBackend()
+    if name == "torch":
+        return _TorchBackend()
     if name not in BACKENDS:
         raise ValueError(f"unknown backend {name!r}; options: {BACKENDS}")
     return _JaxBackend(name, config)

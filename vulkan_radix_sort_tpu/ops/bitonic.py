@@ -740,9 +740,12 @@ def _gate_body(body, n):
 # trip of gated blocks entirely (the BlockSpec auto-pipeline always DMAs
 # every grid step; with in->out aliasing a gated block is already correct
 # in place, so the only way to not pay its bandwidth is to own the DMAs).
-# Default off pending the chip A/B in tools/chip_queue4.sh — the manual
-# path serializes DMA with compute per live block (no double buffering),
-# so it wins only when the fill fraction outweighs the lost overlap.
+# Round 4 measured the SERIAL manual variant slower than the auto-pipeline
+# (5.67 vs 5.37 ms — skipped fill bandwidth < lost copy/compute overlap);
+# this is the round-5 double-buffered rewrite: two VMEM slots per array,
+# block p+1's input DMA is issued before block p's compute, so live-block
+# copies overlap compute again while gated blocks still move zero bytes.
+# Default off pending its chip A/B (tools/chip_queue5.sh).
 DMA_GATE = _os.environ.get("VRS_DMA_GATE", "0") == "1"
 
 
@@ -771,28 +774,63 @@ def _block_call_dma_gated(body, arrs, rc, interpret, valid, real_rows=None):
 
     def kernel(vref, *refs):
         ins, outs = refs[:n], refs[n: 2 * n]
-        scratch, sems = refs[2 * n: 3 * n], refs[3 * n:]
+        scratch = refs[2 * n: 3 * n]         # n x VMEM (2, rc, LANES)
+        in_sems, out_sems = refs[3 * n], refs[3 * n + 1]  # DMA (2, n)
         p = pl.program_id(0)
 
-        @pl.when(vref[p] != 0)
+        def in_copy(idx, i):
+            # slot = block-index parity; each slot has at most one
+            # outstanding copy per direction (see the step schedule below)
+            return pltpu.make_async_copy(
+                ins[i].at[pl.ds(idx * rc, rc)],
+                scratch[i].at[idx % 2],
+                in_sems.at[idx % 2, i],
+            )
+
+        def out_copy(idx, i):
+            return pltpu.make_async_copy(
+                scratch[i].at[idx % 2],
+                outs[i].at[pl.ds(idx * rc, rc)],
+                out_sems.at[idx % 2, i],
+            )
+
+        def live(idx):
+            # clamped SMEM read so idx = -1 / nblocks probes stay in
+            # bounds; callers AND the result with the range check
+            return vref[jnp.clip(idx, 0, nblocks - 1)] != 0
+
+        # Step schedule (double-buffered): in(p) was started at step p-1
+        # (or in the p==0 preamble); out(p) is drained at step p+1, which
+        # frees slot (p+1) % 2 == (p-1) % 2 BEFORE in(p+1) refills it.
+        @pl.when((p == 0) & live(p))
         def _():
             for i in range(n):
-                pltpu.make_async_copy(
-                    ins[i].at[pl.ds(p * rc, rc)], scratch[i], sems[i]
-                ).start()
+                in_copy(p, i).start()
+
+        @pl.when((p > 0) & live(p - 1))
+        def _():
             for i in range(n):
-                pltpu.make_async_copy(
-                    ins[i].at[pl.ds(p * rc, rc)], scratch[i], sems[i]
-                ).wait()
-            body(*scratch, *scratch, pid=p)
+                out_copy(p - 1, i).wait()
+
+        @pl.when((p + 1 < nblocks) & live(p + 1))
+        def _():
             for i in range(n):
-                pltpu.make_async_copy(
-                    scratch[i], outs[i].at[pl.ds(p * rc, rc)], sems[i]
-                ).start()
+                in_copy(p + 1, i).start()
+
+        @pl.when(live(p))
+        def _():
             for i in range(n):
-                pltpu.make_async_copy(
-                    scratch[i], outs[i].at[pl.ds(p * rc, rc)], sems[i]
-                ).wait()
+                in_copy(p, i).wait()
+            slot = p % 2
+            cur = [scratch[i].at[slot] for i in range(n)]
+            body(*cur, *cur, pid=p)
+            for i in range(n):
+                out_copy(p, i).start()
+
+        @pl.when((p == nblocks - 1) & live(p))
+        def _():
+            for i in range(n):
+                out_copy(p, i).wait()
 
     return pl.pallas_call(
         kernel,
@@ -802,8 +840,8 @@ def _block_call_dma_gated(body, arrs, rc, interpret, valid, real_rows=None):
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n,
         out_shape=_out_shapes(n, arrs[0].shape),
         input_output_aliases={i + 1: i for i in range(n)},
-        scratch_shapes=[pltpu.VMEM((rc, LANES), jnp.uint32)] * n
-        + [pltpu.SemaphoreType.DMA] * n,
+        scratch_shapes=[pltpu.VMEM((2, rc, LANES), jnp.uint32)] * n
+        + [pltpu.SemaphoreType.DMA((2, n))] * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=VMEM_LIMIT,
@@ -1330,9 +1368,11 @@ def _slot_geometry(n, slot, chunk):
     return n_slots, C, _log2(slot // C) + 1
 
 
-@functools.partial(jax.jit, static_argnames=("slot", "chunk", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("slot", "chunk", "interpret", "prearranged")
+)
 def merge_slots_u32(keys, sizes=None, *, slot: int, chunk: int = 1 << 16,
-                    interpret: bool = False):
+                    interpret: bool = False, prearranged: bool = False):
     """Sort a (n_slots * slot,) array whose aligned `slot`-sized segments
     are each sorted ascending with 0xFFFFFFFF fill tails, using only the
     network's merge rounds — log2(n_slots) rounds instead of the full
@@ -1346,12 +1386,17 @@ def merge_slots_u32(keys, sizes=None, *, slot: int, chunk: int = 1 << 16,
     maximum); callers slice the genuine prefix. Optional `sizes`
     ((n_slots,) int32 genuine prefix lengths) turns on pure-fill block
     skipping (see _merge_rounds).
+
+    prearranged=True promises odd slots already hold their run DESCENDING
+    in the slot suffix (sender-side reversal at the exchange — the source
+    sends a mirrored segment of its flipped shard and targets the slot
+    end), skipping the _reverse_odd_slots pass over the whole buffer.
     """
     n = keys.shape[0]
     n_slots, C, r_start = _slot_geometry(n, slot, chunk)
-    k2 = _reverse_odd_slots(
-        jnp.asarray(keys, jnp.uint32).reshape(n_slots, slot)
-    )
+    k2 = jnp.asarray(keys, jnp.uint32).reshape(n_slots, slot)
+    if not prearranged:
+        k2 = _reverse_odd_slots(k2)
     arrs = [k2.reshape(n // LANES, LANES)]
     arrs = _merge_rounds(arrs, n, C, r_start, MODE_KEYS, interpret,
                          slot=slot, sizes=sizes)
@@ -1359,11 +1404,12 @@ def merge_slots_u32(keys, sizes=None, *, slot: int, chunk: int = 1 << 16,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("slot", "chunk", "interpret", "stable")
+    jax.jit,
+    static_argnames=("slot", "chunk", "interpret", "stable", "prearranged"),
 )
 def merge_slots_pairs(keys, values, sizes, *, slot: int,
                       chunk: int = 1 << 16, interpret: bool = False,
-                      stable: bool = True):
+                      stable: bool = True, prearranged: bool = False):
     """Key-value slot merge. `sizes` ((n_slots,) int32) gives each slot's
     genuine prefix length; the rest is fill.
 
@@ -1374,20 +1420,35 @@ def merge_slots_pairs(keys, values, sizes, *, slot: int,
     0x7FFFFFFF plain, matching _packed_aux/_stable_idx), so fills sort
     strictly after every genuine pair including genuine 0xFFFFFFFF keys.
     stable=False expects value fills of 0xFFFFFFFF (the lex-pair maximum).
+
+    prearranged=True: see merge_slots_u32 — odd slots arrive descending in
+    the slot suffix, no reversal pass. The stability aux is built directly
+    in that orientation (an odd slot's buffer position j holds intra-
+    source position slot-1-j), so the tiebreak stays (source rank,
+    intra-source order) exactly.
     """
     n = keys.shape[0]
     n_slots, C, r_start = _slot_geometry(n, slot, chunk)
     k2 = jnp.asarray(keys, jnp.uint32).reshape(n_slots, slot)
     v2 = jnp.asarray(values, jnp.uint32).reshape(n_slots, slot)
+
+    def arrange(a):
+        return a if prearranged else _reverse_odd_slots(a)
+
     if not stable:
         arrs = [
-            _reverse_odd_slots(k2).reshape(-1, LANES),
-            _reverse_odd_slots(v2).reshape(-1, LANES),
+            arrange(k2).reshape(-1, LANES),
+            arrange(v2).reshape(-1, LANES),
         ]
         arrs = _merge_rounds(arrs, n, C, r_start, MODE_PAIRS, interpret,
                              slot=slot, sizes=sizes)
         return arrs[0].reshape(-1), arrs[1].reshape(-1)
     pos = jnp.arange(slot, dtype=jnp.uint32)[None, :]
+    if prearranged:
+        # build the aux already in buffer orientation: odd slots hold
+        # intra-source position slot-1-j at buffer position j
+        odd = ((jnp.arange(n_slots) & 1) == 1)[:, None]
+        pos = jnp.where(odd, jnp.uint32(slot - 1) - pos, pos)
     genuine = pos < sizes[:, None].astype(jnp.uint32)
     flat = jnp.arange(n_slots, dtype=jnp.uint32)[:, None] * slot + pos
     # STRICT here (vs <= in sort_pairs_u32): slot buffers always contain
@@ -1400,7 +1461,8 @@ def merge_slots_pairs(keys, values, sizes, *, slot: int,
         aux2 = jnp.where(genuine, flat, jnp.uint32(0x7FFFFFFF))
         mode = MODE_STABLE
     arrs = [
-        _reverse_odd_slots(a).reshape(-1, LANES) for a in (k2, aux2, v2)
+        arrange(a).reshape(-1, LANES)
+        for a in (k2, aux2, v2)
     ]
     arrs = _merge_rounds(arrs, n, C, r_start, mode, interpret,
                          slot=slot, sizes=sizes)

@@ -245,7 +245,12 @@ def _staged_exchange(arrs, sizes_all, in_off, H, C, m, slack, fills,
     slots of S (final buffers next_pow2(D) * S), so the receiver holds
     aligned sorted runs ready for the merge-rounds-only re-sort
     (bitonic.merge_slots_*); the fit check then also requires every
-    single (src, dst) transfer <= S.
+    single (src, dst) transfer <= S. Slotted mode also applies the
+    sender-side odd-slot reversal (see the 1-D merge_resort site): an
+    odd-flat-rank source ships its whole plan out of its FLIPPED shard
+    (hop A mirrors the block offsets; hop B reads the reversed within-
+    block segment layout and targets each slot's suffix), so the final
+    buffers are prearranged and the merge skips _reverse_odd_slots.
 
     Returns (outs, ok). ok is a replicated scalar, False when ANY chip's
     hop-A staging buffer (slack * m) would overflow; in that case the hops
@@ -286,6 +291,16 @@ def _staged_exchange(arrs, sizes_all, in_off, H, C, m, slack, fills,
     recvA = jnp.take(A, my_h, axis=1).astype(jnp.int32) * z  # (H,) column
     # my ranges for one dst host are contiguous (flat dsts h'*C..h'*C+C-1)
     in_offA = in_off.reshape(H, C)[:, 0]
+    if slot is not None:
+        # sender-side reversal: odd flat-rank sources ship out of their
+        # flipped shard, so mirror my block offsets there
+        my_odd = ((my_h * C + my_i).astype(jnp.int32) & 1) == 1
+        in_offA = jnp.where(
+            my_odd,
+            jnp.clip(jnp.int32(m) - in_offA - sendA, 0, m - 1).astype(
+                jnp.int32),
+            in_offA,
+        )
     blockA_off = (jnp.cumsum(recvA) - recvA).astype(jnp.int32)  # exclusive
 
     # ---- hop B plan pieces shared across rounds ----
@@ -296,6 +311,10 @@ def _staged_exchange(arrs, sizes_all, in_off, H, C, m, slack, fills,
     n_slots = 1 if slot is None else bitonic._next_pow2(D)
     outs = []
     for arr, fill in zip(arrs, fills):
+        if slot is not None:
+            # odd flat-rank sources ship their whole plan out of the
+            # flipped shard (offsets already mirrored above)
+            arr = jnp.where(my_odd, jnp.flip(arr), arr)
         bufA = jnp.full((slack * m,), fill, arr.dtype)
         bufA = _ragged_a2a(arr, bufA, in_offA, sendA, out_offA, recvA, H,
                            axis=DCN_AXIS)
@@ -316,9 +335,22 @@ def _staged_exchange(arrs, sizes_all, in_off, H, C, m, slack, fills,
                 # slotted: this round I forward source (h, my_i)'s data,
                 # which owns slot h*C + my_i in every destination's buffer
                 src_slot = jnp.int32(h * C) + my_i.astype(jnp.int32)
-                out_offB = jnp.broadcast_to(
-                    src_slot * jnp.int32(slot) * z, (C,)
+                # a reversed source's staged block holds its C segments
+                # in reverse chip order, each internally reversed:
+                # segment j at block_end - cumsum(sB)[j]; it lands at the
+                # slot SUFFIX so the merge runs prearranged
+                src_odd = ((src_slot & 1) == 1)
+                in_offB = jnp.where(
+                    src_odd,
+                    blockA_off[h] + recvA[h] - jnp.cumsum(sB),
+                    in_offB,
                 )
+                suffix = jnp.where(
+                    src_odd & (sB > 0), jnp.int32(slot) - sB, 0
+                )
+                out_offB = (
+                    src_slot * jnp.int32(slot) + suffix
+                ).astype(jnp.int32) * z
             recvB = (
                 jnp.take(rows, my_i, axis=1).astype(jnp.int32) * z
             )  # (C,)
@@ -432,21 +464,23 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
         interpret = bool(config is not None and config.interpret)
         chunk = config.chunk if config is not None else 1 << 16
 
-        def merge_finish(ks2, vs2, recv_z, ok):
+        def merge_finish(ks2, vs2, recv_z, ok, prearranged=False):
             """Merge-rounds-only re-sort of slotted arrivals (slot i =
-            flat source rank i's sorted run, genuine prefix recv_z[i]);
-            the sizes also drive pure-fill block skipping in the merge
-            kernels."""
+            flat source rank i's sorted run, genuine prefix recv_z[i] —
+            or, prearranged, the run reversed into the slot SUFFIX for
+            odd i); the sizes also drive pure-fill block skipping in the
+            merge kernels."""
             sizes_slots = jnp.zeros((n_slots,), jnp.int32).at[
                 :n_dev].set(recv_z)
             if key_value:
                 ko, vo = bitonic.merge_slots_pairs(
                     ks2, vs2, sizes_slots, slot=S, chunk=chunk,
-                    interpret=interpret,
+                    interpret=interpret, prearranged=prearranged,
                 )
                 return ko[:m], vo[:m], ok
             ko = bitonic.merge_slots_u32(ks2, sizes_slots, slot=S,
-                                         chunk=chunk, interpret=interpret)
+                                         chunk=chunk, interpret=interpret,
+                                         prearranged=prearranged)
             return ko[:m], jnp.zeros((0,), jnp.uint32), ok
 
         def merge_keys_halves(sA, sB):
@@ -521,7 +555,7 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
                     okd.astype(jnp.int32)
                 )
                 return merge_finish(outs[0], outs[1] if key_value else None,
-                                    recv_z, ok)
+                                    recv_z, ok, prearranged=True)
             outs, okd = _staged_exchange(
                 arrs, sizes_all, in_off, H, C, m, dcn_slack, fills
             )
@@ -556,10 +590,22 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
                 recv_h = masked[:, my].astype(jnp.int32) * z
                 slot_i = jnp.clip(my.astype(jnp.int32) - base, 0,
                                   n_sl - 1)
-                off_h = jnp.broadcast_to(slot_i * jnp.int32(S) * z,
-                                         (n_dev,))
+                # sender-side odd-slot reversal (see the 1-D merge_resort
+                # site): odd slot owners send runs descending into the
+                # slot suffix so the half merges run prearranged
+                odd = (slot_i & 1) == 1
+                # clip: a zero-size send at in_off 0 would mirror to m
+                in_off_r = jnp.clip(
+                    jnp.int32(m) - in_off - send_h, 0, m - 1
+                ).astype(jnp.int32)
+                in_off_h = jnp.where(odd, in_off_r, in_off)
+                suffix = jnp.where(
+                    (send_h > 0) & odd, jnp.int32(S) - send_h, 0
+                )
+                off_h = (slot_i * jnp.int32(S) + suffix) * z
+                ks_send = jnp.where(odd, jnp.flip(ks), ks)
                 kbuf = jnp.full((n_sl * S,), 0xFFFFFFFF, jnp.uint32)
-                kh = _ragged_a2a(ks, kbuf, in_off, send_h, off_h,
+                kh = _ragged_a2a(ks_send, kbuf, in_off_h, send_h, off_h,
                                  recv_h, n_dev, axis)
 
                 def pad_m(x, fill):
@@ -579,15 +625,16 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
                 if not key_value:
                     kh = bitonic.merge_slots_u32(
                         kh, sizes_sl, slot=S, chunk=chunk,
-                        interpret=interpret,
+                        interpret=interpret, prearranged=True,
                     )
                     return pad_m(kh, 0xFFFFFFFF), None, r_h
+                vs_send = jnp.where(odd, jnp.flip(vs), vs)
                 vbuf = jnp.zeros((n_sl * S,), vs.dtype)
-                vh = _ragged_a2a(vs, vbuf, in_off, send_h, off_h,
+                vh = _ragged_a2a(vs_send, vbuf, in_off_h, send_h, off_h,
                                  recv_h, n_dev, axis)
                 kh, vh = bitonic.merge_slots_pairs(
                     kh, vh, sizes_sl, slot=S, chunk=chunk,
-                    interpret=interpret,
+                    interpret=interpret, prearranged=True,
                 )
                 return pad_m(kh, 0xFFFFFFFF), pad_m(vh, 0), r_h
 
@@ -637,20 +684,37 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
             okm = sizes_all.max() <= S  # replicated -> same verdict
             z = okm.astype(jnp.int32)
             my = jax.lax.axis_index(axis)
-            out_off_s = jnp.broadcast_to(
-                my.astype(jnp.int32) * jnp.int32(S) * z, (n_dev,)
-            )
+            # sender-side odd-slot reversal: I own slot `my` in every
+            # destination, so if `my` is odd I send each run DESCENDING
+            # into the slot SUFFIX — the merge then skips its whole-
+            # buffer _reverse_odd_slots pass (prearranged=True). The
+            # reversed segment [a, b) of ks is the segment [m-b, m-a) of
+            # flip(ks) (mirrored in_off); offsets stay in-bounds for
+            # zero sizes via the send > 0 clamp.
+            odd = (my.astype(jnp.int32) & 1) == 1
+            # clip: a zero-size send at in_off 0 would mirror to m
+            in_off_r = jnp.clip(
+                jnp.int32(m) - in_off - send, 0, m - 1
+            ).astype(jnp.int32)
+            in_off_s = jnp.where(odd, in_off_r, in_off)
+            suffix = jnp.where((send > 0) & odd, jnp.int32(S) - send, 0)
+            out_off_s = (
+                my.astype(jnp.int32) * jnp.int32(S) + suffix
+            ).astype(jnp.int32) * z
             send_z, recv_z = send * z, recv * z
+            ks_send = jnp.where(odd, jnp.flip(ks), ks)
             kbuf = jnp.full((n_slots * S,), 0xFFFFFFFF, jnp.uint32)
-            ks2 = _ragged_a2a(ks, kbuf, in_off, send_z, out_off_s, recv_z,
-                              n_dev, axis)
+            ks2 = _ragged_a2a(ks_send, kbuf, in_off_s, send_z, out_off_s,
+                              recv_z, n_dev, axis)
             vs2 = None
             if key_value:
+                vs_send = jnp.where(odd, jnp.flip(vs), vs)
                 vbuf = jnp.zeros((n_slots * S,), vs.dtype)
-                vs2 = _ragged_a2a(vs, vbuf, in_off, send_z, out_off_s,
-                                  recv_z, n_dev, axis)
+                vs2 = _ragged_a2a(vs_send, vbuf, in_off_s, send_z,
+                                  out_off_s, recv_z, n_dev, axis)
             return merge_finish(ks2, vs2, recv_z,
-                                okm.astype(jnp.int32).reshape(1))
+                                okm.astype(jnp.int32).reshape(1),
+                                prearranged=True)
 
         # 4. ragged bucket exchange over ICI
         out = jnp.zeros((m,), ks.dtype)
