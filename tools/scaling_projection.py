@@ -27,10 +27,10 @@ import math
 import os
 
 # ---- measured single-chip constants (v5e, docs/PERFORMANCE.md) ----------
-# round-4 refresh: the T-layout engine runs keys at 14.7 ms / 325
-# stage-passes at 2^25 under pure defaults (bench.py r4, chip_queue.log
-# r4_bench_defaults) — the round-2 constant was 24.7 ms pre-T
-TAU_STAGE_S = 14.7e-3 / (325 * (1 << 25))  # s per element per stage-pass
+# round-5 refresh: keys at 14.04 ms / 325 stage-passes at 2^25 under pure
+# defaults (T layout + indep CE, chip_queue.log r5b_bench_defaults);
+# round 4 was 14.7 (dep CE), rounds 2-3 24.7 (pre-T)
+TAU_STAGE_S = 14.04e-3 / (325 * (1 << 25))  # s per element per stage-pass
 HBM_STREAM_GBS = 342e9                     # measured sequential-grid copy
 # ---- public interconnect specs ------------------------------------------
 ICI_LINK_GBS = 45e9     # v5e ICI, per link per direction (2-D torus)
@@ -91,13 +91,19 @@ def project(m: int, dims: tuple, hosts: int = 1, merge_resort: bool = True,
         buf = D * slot if D * slot >= 2 * m else 2 * m
         nslots = buf // slot
         t_resort = TAU_STAGE_S * merge_stage_elems(buf, m, slot, chunk)
-        # odd-slot reversal: one read+write pass over the slot buffer
-        t_resort += 2 * buf * KEY_BYTES / HBM_STREAM_GBS
-        # unfused rounds: 2 HBM round trips per round — only binds if the
-        # memory time exceeds the compute time (it does not at v5e rates)
+        # round 5: the receiver-side whole-buffer reversal pass is gone
+        # (sender-side odd-slot reversal, prearranged merge); odd sources
+        # instead pay one flip pass over their own m-shard pre-exchange
+        t_flip = 2 * m * KEY_BYTES / HBM_STREAM_GBS
+        # unfused rounds' memory floor with the double-buffered DMA gate
+        # (round 5, default on): pure-fill blocks move zero bytes, so
+        # per round the cross pass streams the whole buffer and the
+        # local pass ~the genuine half. Conservative: the single-chip
+        # 2^24 proxy measures 1.90 ms vs 2.36 modeled here
+        # (chip_queue.log r5b_prearranged_dmagate).
         rounds = int(math.log2(nslots))
-        t_mem = rounds * 4 * buf * KEY_BYTES / HBM_STREAM_GBS
-        t_resort = max(t_resort, t_mem)
+        t_mem = rounds * 2 * (buf + m) * KEY_BYTES / HBM_STREAM_GBS
+        t_resort = max(t_resort, t_mem) + t_flip
     else:
         t_resort = TAU_STAGE_S * m * full_sort_stages(m)
 
@@ -183,10 +189,14 @@ the falsifiable stand-in for the BASELINE >=80% scaling target, built from
 
 - **exact stage counts** (the network is oblivious: stage count x
   per-stage cost IS the runtime, no distribution variance),
-- **chip-measured constants**: 1.349 ps/elem/stage-pass (the round-4
-  T-layout engine: 14.7 ms / 325 stage-passes at 2^25 under pure
-  defaults, chip_queue.log r4_bench_defaults; the round-2/3 projections
-  used the pre-T 2.266) and 342 GB/s HBM streaming,
+- **chip-measured constants**: 1.288 ps/elem/stage-pass (the round-5
+  engine — T layout + indep CE: 14.04 ms / 325 stage-passes at 2^25
+  under pure defaults, chip_queue.log r5b_bench_defaults; round 4 used
+  1.349, rounds 2/3 the pre-T 2.266) and 342 GB/s HBM streaming; the
+  merge re-sort term is additionally anchored to a direct measurement
+  (1.90 ms keys / 5.30 ms stable pairs at the 2^24 single-chip proxy
+  geometry under shipped defaults, r5b_prearranged_dmagate — the model's
+  2.36 ms memory floor for that shape is conservative),
 - **public interconnect specs**: v5e ICI 2-D torus at ~45 GB/s per link
   per direction; 200 Gbps host NIC for DCN,
 - **exact exchange volumes**: uniform keys move (D-1)/D of each shard;
@@ -222,24 +232,27 @@ DOC_EPILOGUE = """
   each merge-finished — implemented, same test class). The naive metric
   cannot reach 80% for any comparison sort at D=16 (L(2^30)/L(2^26) =
   1.32 of inherent extra work).
-- **Round-4 shift: the re-sort is now HBM-bound.** The T layout cut the
-  compute constant 1.68x, so the merge re-sort's floor is no longer its
-  stage count but its memory traffic (unfused rounds pay 2 read+write
-  passes over the 2m slot buffer each, plus the odd-slot reversal pass)
-  — 25.1 ms of the 56.9 ms total. Aggregate throughput projects HIGHER
-  than round 3 (13.7 -> 18.9 GItems/s, 1.56x the reference's
-  single-GPU 12.07 headline) while nlogn efficiency drops 0.90 -> 0.74,
-  below the 80% bar. The candidate levers and their round-4 status:
-  a manual-DMA local kernel that skips fill-gated blocks' round trips
-  is implemented (`VRS_DMA_GATE`) and chip-correct but MEASURED SLOWER
-  (5.67 vs 5.37 ms on the 2^24 single-chip proxy, chip_queue.log
-  r4_merge_dmagate) — without double buffering the lost copy/compute
-  overlap outweighs the skipped traffic, so the default stays off and
-  a round-5 attempt needs prefetch-next-live-block pipelining; fusing
-  the odd-slot reversal into the exchange's send-buffer build (flip at
-  the source, mirrored offsets) saves 2 buffer passes and remains
-  unbuilt. The modeled combination (~51 ms / 0.83 eff / 21 GItems/s)
-  is therefore a design target, not an implemented number.
+- **Round 5: both round-4 levers are implemented, chip-verified, and
+  default-on.** (1) Sender-side odd-slot reversal: the exchange flips
+  odd-rank sources' runs while sending (mirrored input offsets into the
+  flipped shard, slot-suffix placement) so the merge skips its
+  receiver-side `_reverse_odd_slots` pass — which measured far above its
+  2-pass streaming model (3.3 ms of a 5.4 ms keys re-sort at the 2^24
+  proxy: the XLA reversal materializes a fresh buffer and breaks the
+  aliased in-place kernel chain). (2) The manual-DMA fill gate was
+  rewritten double-buffered (next live block's input DMA issued during
+  the current block's compute) and now beats the BlockSpec auto-pipeline
+  (5.22 vs 5.49 ms at the proxy geometry; the round-4 serial variant
+  lost at 5.67). Combined, the proxy re-sort fell 5.40 -> 1.90 ms keys /
+  14.43 -> 5.30 ms stable pairs, all orientations bitwise-verified
+  (chip_queue.log r5_prearranged_ab, r5_merge_dmagate2,
+  r5b_prearranged_dmagate). The rows above carry those constants. The
+  merge+overlap row lands at 0.792 nlogn efficiency / 21.2 GItems/s
+  aggregate (1.75x the reference's single-GPU headline) on the
+  conservative memory floor; scaling the re-sort term by the proxy's
+  measured/modeled ratio (1.90/2.36) puts the central estimate at
+  ~0.85 / ~22.7 GItems/s — the >=80% BASELINE bar is within the model's
+  error band either way, and only hardware can settle it.
 - The DCN row shows the 2-host NIC tier dominating the exchange; the
   hierarchical router's consolidation (H-1 messages/chip) keeps the
   volume at the exact (H-1)/H fraction shown.

@@ -148,7 +148,11 @@ T_IMPL = _os.environ.get("VRS_T_IMPL", "unrolled")
 # ce_variants.py prices the two on the target chip). Same op count either
 # way; multi-word carries keep "dep" — "indep" would need the i1 lex
 # decision vector at both +sh and -sh alignments (a second full compare).
-CE_IMPL = _os.environ.get("VRS_CE_IMPL", "dep")
+# Default "indep": wins on BOTH axes in the per-stage probes (lane 3.29
+# vs 3.49, sublane 1.31 vs 1.46 ps/elem) and end-to-end under the T
+# layout on chip — keys 14.03 vs 14.70 ms at 2^25, bitwise-verified
+# (bench_results/chip_queue.log r5_keys_ce_indep vs r5_bench_defaults).
+CE_IMPL = _os.environ.get("VRS_CE_IMPL", "indep")
 
 
 def _budget(na: int) -> int:
@@ -745,8 +749,12 @@ def _gate_body(body, n):
 # this is the round-5 double-buffered rewrite: two VMEM slots per array,
 # block p+1's input DMA is issued before block p's compute, so live-block
 # copies overlap compute again while gated blocks still move zero bytes.
-# Default off pending its chip A/B (tools/chip_queue5.sh).
-DMA_GATE = _os.environ.get("VRS_DMA_GATE", "0") == "1"
+# Default ON since the chip A/B at the v5e-16 slot geometry: slot merge
+# 5.22 ms vs 5.49 with the BlockSpec auto-pipeline, keys+pairs bitwise-
+# verified (bench_results/chip_queue.log r5_merge_dmagate2 vs
+# r5_merge_base). Only slot-merge kernels route here (valid mask, no
+# real_rows prefix), so the single-chip sort paths are unaffected.
+DMA_GATE = _os.environ.get("VRS_DMA_GATE", "1") == "1"
 
 
 def _block_call_dma_gated(body, arrs, rc, interpret, valid, real_rows=None):
