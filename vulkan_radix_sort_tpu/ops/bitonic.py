@@ -153,6 +153,20 @@ T_IMPL = _os.environ.get("VRS_T_IMPL", "unrolled")
 # layout on chip — keys 14.03 vs 14.70 ms at 2^25, bitwise-verified
 # (bench_results/chip_queue.log r5_keys_ce_indep vs r5_bench_defaults).
 CE_IMPL = _os.environ.get("VRS_CE_IMPL", "indep")
+# multi-word-carry CE formulation. "dep" (round-1 form) rolls each array's
+# lex-high back by +sh after the shared compare decides it — na rolls on
+# the stage's critical tail. "indep" computes the lex decision at BOTH
+# alignments (partners p = roll(a,-sh) for the up slots, q = roll(a,+sh)
+# for the down slots; roll(lt,+sh) == lt2 by construction, but i1 vectors
+# can't be rolled cheaply so lt2 is a second compare chain) — one extra
+# (2*ncmp-1)-op chain per stage buys every roll off the critical path,
+# the same trade the keys probe priced at 1.31 vs 1.46 ps/elem/stage.
+# Chip-REFUTED for multi-word carries (chip_queue.log r5d_ce_multi_*,
+# 2^25, all bitwise-verified): kv 46.7->50.5 ms, kvns 32.3->34.8,
+# u64kv 66.8->74.3 — the second compare chain costs more than the rolls
+# it hides once ncmp>1 (the keys win came from ncmp=1, where min/max
+# replaces BOTH selects and there is no second chain). "dep" stays.
+CE_MULTI = _os.environ.get("VRS_CE_MULTI", "dep")
 
 
 def _budget(na: int) -> int:
@@ -260,6 +274,25 @@ def _ce(arrs, ncmp, axis, sh, up):
     lt = partners[ncmp - 1] < arrs[ncmp - 1]
     for i in range(ncmp - 2, -1, -1):
         lt = (partners[i] < arrs[i]) | ((partners[i] == arrs[i]) & lt)
+
+    if CE_MULTI == "indep":
+        # down slot j pairs with a[j-sh] = q[j]; its decision is
+        # roll(lt, +sh)[j] == (a[j] <lex a[j-sh]), recomputed as a second
+        # chain (lt2) so no roll ever waits on a compare
+        qs = [_roll(a, sh, axis=axis) for a in arrs]
+        lt2 = arrs[ncmp - 1] < qs[ncmp - 1]
+        for i in range(ncmp - 2, -1, -1):
+            lt2 = (arrs[i] < qs[i]) | ((arrs[i] == qs[i]) & lt2)
+        out = []
+        for i, (a, p, q) in enumerate(zip(arrs, partners, qs)):
+            if i == 0:
+                lo = jnp.minimum(a, p)
+                hi = jnp.maximum(a, q)
+            else:
+                lo = jnp.where(lt, p, a)
+                hi = jnp.where(lt2, q, a)
+            out.append(jnp.where(up, lo, hi))
+        return tuple(out)
 
     out = []
     for i, (a, p) in enumerate(zip(arrs, partners)):
