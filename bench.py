@@ -69,10 +69,12 @@ def main():
     keys = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
     kj = jnp.asarray(keys)
 
+    from vulkan_radix_sort_tpu.config import CHUNK_CARRY, CHUNK_KEYS
+
     on_tpu = devices[0].platform == "tpu"
     if on_tpu:
-        chunk = 1 << 16  # measured optimum at N=2^25 (tools/microbench.py scans)
-        sort = lambda a: bitonic.sort_u32(a, chunk=chunk)  # noqa: E731
+        # per-kind chunk optima at N=2^25 (chip_queue.log r5d_chunk_ab)
+        sort = lambda a: bitonic.sort_u32(a, chunk=CHUNK_KEYS)  # noqa: E731
         backend = "network"
     else:
         sort = reference.sort_keys
@@ -106,7 +108,7 @@ def main():
     vj = jnp.asarray(vals)
     if on_tpu:
         sort_kv = lambda a, b: bitonic.sort_pairs_u32(  # noqa: E731
-            a, b, chunk=chunk, stable=True)
+            a, b, chunk=CHUNK_CARRY, stable=True)
     else:
         sort_kv = reference.sort_pairs
     fn_kv = jax.jit(sort_kv)

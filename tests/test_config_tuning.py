@@ -65,6 +65,21 @@ def test_auto_backend_cutoffs():
         sorter._pick_backend(cfg, 1 << 20, kind="bogus")
 
 
+def test_chunk_per_kind_defaults():
+    """Pins the per-kind chunk optima from the round-5 chip re-sweep
+    (bench_results/chip_queue.log r5d_chunk_ab: keys 13.48 ms at 2^17 vs
+    13.98 at 2^16; stable kv 46.62 at 2^16 vs 47.19 at 2^17). An explicit
+    chunk= overrides both kinds (the pre-round-5 behavior)."""
+    assert config.CHUNK_KEYS == 1 << 17
+    assert config.CHUNK_CARRY == 1 << 16
+    cfg = config.SortConfig()
+    assert cfg.chunk is None
+    assert cfg.chunk_keys == 1 << 17
+    assert cfg.chunk_carry == 1 << 16
+    forced = config.SortConfig(chunk=1 << 12)
+    assert forced.chunk_keys == forced.chunk_carry == 1 << 12
+
+
 def test_budget_env_overrides():
     # the module reads env at import; just assert the values are ints > 0
     assert bitonic.MAX_GROUP_STAGES > 0

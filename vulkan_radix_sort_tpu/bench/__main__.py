@@ -40,12 +40,17 @@ def main(argv=None) -> int:
                    help="also print the per-stage split at the largest N "
                         "(network backend; analog of the reference's "
                         "upsweep/spine/downsweep %% lines, bench.cc:178-186)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="enable the adaptive fast paths (sorted / reverse / "
+                        "constant inputs skip the engine; one extra "
+                        "detection pass on everything else)")
     args = p.parse_args(argv)
 
     from ..config import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = SortConfig(backend=args.backend, interpret=args.interpret)
+    cfg = SortConfig(backend=args.backend, interpret=args.interpret,
+                     adaptive=args.adaptive)
 
     def progress(r):
         print(

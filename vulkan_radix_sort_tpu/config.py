@@ -52,6 +52,19 @@ FLUSH_ROWS = 16  # 16 rows * 128 lanes * 4B = 8 KiB per flush
 # (upsweep.slang:32) and writes are masked (downsweep.slang:199).
 KEY_SENTINEL = 0xFFFFFFFF
 
+# Default VMEM chunk sizes of the bitonic network backend, per path kind.
+# Chip sweep under the round-5 defaults (T layout + indep keys CE,
+# bench_results/chip_queue.log r5d_chunk_ab, keys/kv at 2^25):
+#   chunk 2^15: keys 16.05 ms            kv 46.67 ms
+#   chunk 2^16: keys 13.98 ms            kv 46.62 ms
+#   chunk 2^17: keys 13.48 ms (fastest)  kv 47.19 ms
+# Keys-only sorts take the bigger chunk (fewer merge rounds beat the extra
+# in-chunk stages once the T layout made sublane stages cheap); carry paths
+# (kv / kvns / u64) keep 2^16 — their per-stage cost is array-count-bound,
+# so extra in-chunk stages cost more than the saved merge rounds.
+CHUNK_KEYS = 1 << 17
+CHUNK_CARRY = 1 << 16
+
 
 @dataclasses.dataclass(frozen=True)
 class SortConfig:
@@ -61,14 +74,39 @@ class SortConfig:
     digit_bits: int = DIGIT_BITS
     flush_rows: int = FLUSH_ROWS
     # VMEM-resident chunk size of the bitonic network backend (keys per
-    # chunk kernel invocation); must be a power of two >= 256.
-    chunk: int = 1 << 16
+    # chunk kernel invocation); must be a power of two >= 256. None (the
+    # default) resolves per path kind: CHUNK_KEYS for keys-only sorts,
+    # CHUNK_CARRY for carry paths (kv / kvns / u64) — see the sweep table
+    # above those constants. An explicit value applies to every path.
+    chunk: int | None = None
     # 'network' (bitonic CE engine, the TPU hot path) | 'radix' (Pallas LSD
     # radix pipeline) | 'xla' (lax.sort) | 'auto' (network on TPU, xla off)
     backend: str = "auto"
     # run Pallas kernels in interpreter mode (debugging / CPU testing);
     # analog of the reference's opt-in validation layers (bench.cc:120).
     interpret: bool = False
+    # adaptive fast paths (opt-in): one in-graph detection pass per sort
+    # spots already-sorted / reverse-sorted / constant inputs and skips the
+    # network entirely (identity / reverse copy) via lax.cond. BASELINE's
+    # "pre-sorted" degenerate config sorts at memcpy speed; the cost on
+    # unsorted inputs is the detection reduce (~2% at 2^25). Off by default
+    # so the uniform-keys headline pays nothing. No reference analog (the
+    # reference always runs all 4 passes). Reverse inputs take the fast
+    # path only where a flip is order-correct: keys-only sorts (equal keys
+    # are interchangeable); stable and non-stable KV keep only the
+    # sorted-input identity path (a flip would reverse equal-key ties,
+    # breaking the stable contract and kvns's value-ascending promise).
+    adaptive: bool = False
+
+    @property
+    def chunk_keys(self) -> int:
+        """Resolved chunk for keys-only network sorts."""
+        return CHUNK_KEYS if self.chunk is None else self.chunk
+
+    @property
+    def chunk_carry(self) -> int:
+        """Resolved chunk for carry-path network sorts (kv/kvns/u64)."""
+        return CHUNK_CARRY if self.chunk is None else self.chunk
 
     @property
     def radix(self) -> int:
@@ -85,7 +123,9 @@ class SortConfig:
 
 @functools.cache
 def default_config() -> SortConfig:
-    return SortConfig()
+    import os
+
+    return SortConfig(adaptive=os.environ.get("VRS_ADAPTIVE", "0") == "1")
 
 
 def cdiv(a: int, b: int) -> int:

@@ -118,17 +118,24 @@ def _default_use_pallas(config: SortConfig | None) -> bool:
     )
 
 
+def _resolved_chunks(config: SortConfig | None):
+    """(keys_chunk, carry_chunk) for the local network engines — per-kind
+    defaults resolve exactly as in the single-chip Sorter (config.py)."""
+    cfg = config if config is not None else SortConfig()
+    return cfg.chunk_keys, cfg.chunk_carry
+
+
 def _local_sort(keys, values=None, config: SortConfig | None = None,
                 use_pallas=False):
-    chunk = config.chunk if config is not None else 1 << 16
+    chunk_k, chunk_c = _resolved_chunks(config)
     interpret = bool(config is not None and config.interpret)
     if values is None:
         if use_pallas:
-            return bitonic.sort_u32(keys, chunk=chunk, interpret=interpret)
+            return bitonic.sort_u32(keys, chunk=chunk_k, interpret=interpret)
         return reference.sort_keys(keys)
     if use_pallas:
         return bitonic.sort_pairs_u32(
-            keys, values, chunk=chunk, interpret=interpret
+            keys, values, chunk=chunk_c, interpret=interpret
         )
     return reference.sort_pairs(keys, values)
 
@@ -415,7 +422,7 @@ def _bitonic_merge_halves(sA, sB, config, interpret):
     distances len/2 .. 1 — exactly the cross + local stages of the top
     merge round with all-ascending directions."""
     m = sA.shape[0]
-    chunk = config.chunk if config is not None else 1 << 16
+    chunk, _ = _resolved_chunks(config)
     np2 = bitonic._next_pow2(2 * m)
     pad = np2 - 2 * m
     parts = [sA]
@@ -462,7 +469,8 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
         ok = jnp.ones((1,), jnp.int32)
 
         interpret = bool(config is not None and config.interpret)
-        chunk = config.chunk if config is not None else 1 << 16
+        chunk_k, chunk_c = _resolved_chunks(config)
+        chunk = chunk_c if key_value else chunk_k
 
         def merge_finish(ks2, vs2, recv_z, ok, prearranged=False):
             """Merge-rounds-only re-sort of slotted arrivals (slot i =
