@@ -39,15 +39,39 @@ def main():
     adaptive = Sorter(n, config=SortConfig(adaptive=True))
     plain = Sorter(n, config=SortConfig(adaptive=False))
 
+    # The chained marginal-timing loop feeds each sort's own output back
+    # in, so from iteration 2 the input IS sorted and the adaptive sorter
+    # takes the fast path — chaining the raw sort mis-measures the
+    # detection overhead on unsorted inputs (first queue5e run did this).
+    # For the uniform rows, both sorters are therefore timed through the
+    # SAME de-sorting perturbation (one multiply-xor VPU pass that makes
+    # every chained iteration's input pseudo-random); the adaptive
+    # overhead on unsorted data is the A/B delta under that wrapper.
+    mix = (jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)) ^ jnp.uint32(0x9E3779B9)
+
+    def perturbed(sort_fn):
+        return lambda a: sort_fn(a ^ mix)
+
     for dist in ("sorted", "reverse", "constant", "uniform"):
         keys = generate_keys(n, seed=3, distribution=dist)
         kj = jnp.asarray(keys)
         expect = np.sort(keys)
         assert np.array_equal(np.asarray(adaptive.sort(kj)), expect), dist
-        row = {"path": f"keys_{dist}", "adaptive_ms": round(t3(adaptive.sort, kj) * 1e3, 3)}
-        if dist in ("sorted", "uniform"):
-            assert np.array_equal(np.asarray(plain.sort(kj)), expect), dist
-            row["plain_ms"] = round(t3(plain.sort, kj) * 1e3, 3)
+        if dist == "uniform":
+            row = {
+                "path": "keys_uniform_perturbed",
+                "adaptive_ms": round(t3(perturbed(adaptive.sort), kj) * 1e3, 3),
+                "plain_ms": round(t3(perturbed(plain.sort), kj) * 1e3, 3),
+            }
+        else:
+            # degenerate inputs: chaining is representative (sorted stays
+            # sorted; the output of the reverse/constant first pass is
+            # sorted, the same detect+copy cost class)
+            row = {"path": f"keys_{dist}",
+                   "adaptive_ms": round(t3(adaptive.sort, kj) * 1e3, 3)}
+            if dist == "sorted":
+                assert np.array_equal(np.asarray(plain.sort(kj)), expect)
+                row["plain_ms"] = round(t3(plain.sort, kj) * 1e3, 3)
         print(json.dumps(row), flush=True)
 
     vals = generate_values(n, seed=5)
@@ -61,12 +85,25 @@ def main():
         gk, gv = adaptive.sort_key_value(kj, vj)
         assert np.array_equal(np.asarray(gk), keys[order]), dist
         assert np.array_equal(np.asarray(gv), vals[order]), dist
-        row = {
-            "path": f"kv_{dist}",
-            "adaptive_ms": round(t3(adaptive.sort_key_value, kj, vj) * 1e3, 3),
-        }
         if dist == "uniform":
-            row["plain_ms"] = round(t3(plain.sort_key_value, kj, vj) * 1e3, 3)
+            # same chaining hazard as keys: perturb the keys (values can
+            # chain as-is — their order never feeds detection)
+            def pkv(sort_fn):
+                return lambda a, b: sort_fn(a ^ mix, b)
+
+            row = {
+                "path": "kv_uniform_perturbed",
+                "adaptive_ms": round(
+                    t3(pkv(adaptive.sort_key_value), kj, vj) * 1e3, 3),
+                "plain_ms": round(
+                    t3(pkv(plain.sort_key_value), kj, vj) * 1e3, 3),
+            }
+        else:
+            row = {
+                "path": f"kv_{dist}",
+                "adaptive_ms": round(
+                    t3(adaptive.sort_key_value, kj, vj) * 1e3, 3),
+            }
         print(json.dumps(row), flush=True)
     print("adaptive paths verified")
 
