@@ -26,15 +26,12 @@ def main():
     from vulkan_radix_sort_tpu.config import SortConfig, enable_compilation_cache
     from vulkan_radix_sort_tpu.models.sorter import Sorter
     from vulkan_radix_sort_tpu.utils.datagen import generate_keys, generate_values
-    from vulkan_radix_sort_tpu.utils.timing import marginal_time
+    from vulkan_radix_sort_tpu.utils.timing import median_marginal_time
 
     enable_compilation_cache()
     n = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 25)
 
-    def t3(f, *args):
-        return float(np.median([
-            marginal_time(f, *args, k1=2, k2=8, iters=4) for _ in range(3)
-        ]))
+    t3 = median_marginal_time
 
     adaptive = Sorter(n, config=SortConfig(adaptive=True))
     plain = Sorter(n, config=SortConfig(adaptive=False))

@@ -22,7 +22,7 @@ def main():
 
     from vulkan_radix_sort_tpu.config import enable_compilation_cache
     from vulkan_radix_sort_tpu.ops import bitonic
-    from vulkan_radix_sort_tpu.utils.timing import marginal_time
+    from vulkan_radix_sort_tpu.utils.timing import median_marginal_time
 
     enable_compilation_cache()
     n = 1 << 25
@@ -32,10 +32,7 @@ def main():
     kj, vj = jnp.asarray(keys), jnp.asarray(vals)
     order = np.argsort(keys, kind="stable")
 
-    def t3(f, *args):
-        return float(np.median([
-            marginal_time(f, *args, k1=2, k2=8, iters=4) for _ in range(3)
-        ]))
+    t3 = median_marginal_time
 
     for lc in (15, 16, 17):
         chunk = 1 << lc

@@ -25,7 +25,7 @@ def main(log2_m=23):
     import jax.numpy as jnp
 
     from vulkan_radix_sort_tpu.config import enable_compilation_cache
-    from vulkan_radix_sort_tpu.utils.timing import marginal_time
+    from vulkan_radix_sort_tpu.utils.timing import median_marginal_time
 
     enable_compilation_cache()
     print("devices:", jax.devices())
@@ -37,9 +37,7 @@ def main(log2_m=23):
     flag = jnp.bool_(True)
 
     def t3(f, *args):
-        return float(np.median([
-            marginal_time(f, *args, k1=2, k2=10, iters=5) for _ in range(3)
-        ]))
+        return median_marginal_time(f, *args, k2=10, iters=5)
 
     out = {"m": m, "bytes": m * 4}
 

@@ -26,7 +26,7 @@ def main(log2_total=24):
 
     from vulkan_radix_sort_tpu.config import enable_compilation_cache
     from vulkan_radix_sort_tpu.ops import bitonic
-    from vulkan_radix_sort_tpu.utils.timing import marginal_time
+    from vulkan_radix_sort_tpu.utils.timing import median_marginal_time
 
     enable_compilation_cache()
     interpret = jax.devices()[0].platform != "tpu"
@@ -78,10 +78,7 @@ def main(log2_total=24):
     assert np.array_equal(np.asarray(gv)[:mg], allv[perm]), "pairs stability"
     print("pairs merge (gated) verified")
 
-    def t3(f, *args):
-        return float(np.median([
-            marginal_time(f, *args, k1=2, k2=8, iters=4) for _ in range(3)
-        ]))
+    t3 = median_marginal_time
 
     f_ungated = lambda k: bitonic.merge_slots_u32(  # noqa: E731
         k, slot=S, interpret=interpret)

@@ -26,7 +26,7 @@ def main(log2_total=24):
 
     from vulkan_radix_sort_tpu.config import enable_compilation_cache
     from vulkan_radix_sort_tpu.ops import bitonic
-    from vulkan_radix_sort_tpu.utils.timing import marginal_time
+    from vulkan_radix_sort_tpu.utils.timing import median_marginal_time
 
     enable_compilation_cache()
     interpret = jax.devices()[0].platform != "tpu"
@@ -69,10 +69,7 @@ def main(log2_total=24):
     kj, kjp = jnp.asarray(kbuf.reshape(-1)), jnp.asarray(kpre.reshape(-1))
     vj, vjp = jnp.asarray(vbuf.reshape(-1)), jnp.asarray(vpre.reshape(-1))
 
-    def t3(f, *args):
-        return float(np.median([
-            marginal_time(f, *args, k1=2, k2=8, iters=4) for _ in range(3)
-        ]))
+    t3 = median_marginal_time
 
     f_recv = lambda k: bitonic.merge_slots_u32(  # noqa: E731
         k, sj, slot=S, interpret=interpret)

@@ -39,7 +39,7 @@ def main():
 
     from vulkan_radix_sort_tpu.config import enable_compilation_cache
     from vulkan_radix_sort_tpu.ops import bitonic as B
-    from vulkan_radix_sort_tpu.utils.timing import marginal_time
+    from vulkan_radix_sort_tpu.utils.timing import median_marginal_time
 
     enable_compilation_cache()
     print("devices:", jax.devices(), flush=True)
@@ -49,10 +49,7 @@ def main():
     keys = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
     kj = jnp.asarray(keys)
 
-    def t3(f, *args):
-        return float(np.median([
-            marginal_time(f, *args, k1=2, k2=8, iters=4) for _ in range(3)
-        ]))
+    t3 = median_marginal_time
 
     # direct pipeline
     f_direct = lambda a: B.sort_u32(a, chunk=chunk)  # noqa: E731

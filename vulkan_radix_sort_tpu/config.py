@@ -87,10 +87,13 @@ class SortConfig:
     interpret: bool = False
     # adaptive fast paths (opt-in): one in-graph detection pass per sort
     # spots already-sorted / reverse-sorted / constant inputs and skips the
-    # network entirely (identity / reverse copy) via lax.cond. BASELINE's
-    # "pre-sorted" degenerate config sorts at memcpy speed; the cost on
-    # unsorted inputs is the detection reduce (~2% at 2^25). Off by default
-    # so the uniform-keys headline pays nothing. No reference analog (the
+    # network entirely (identity / reverse copy) via lax.cond. Degenerate
+    # inputs sort at detect+copy speed (1.2-1.8 ms vs 13.6/46.6 full at
+    # 2^25); on unsorted inputs the detection reduce measures within the
+    # run-to-run noise (<1%, chip_queue.log r5g_adaptive_ab perturbed
+    # rows). Still off by default: benchmark fidelity (chained timing
+    # loops feed sorted outputs back in and would measure the fast path)
+    # and reference parity. No reference analog (the
     # reference always runs all 4 passes). Reverse inputs take the fast
     # path only where a flip is order-correct: keys-only sorts (equal keys
     # are interchangeable); stable and non-stable KV keep only the

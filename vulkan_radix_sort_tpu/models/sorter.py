@@ -91,10 +91,13 @@ def _adaptive_sort(u, slow):
     four passes (h.in:400-502)."""
     nondec = _nondecreasing(u)
     noninc = _nonincreasing(u)
+    # nested conds so the already-sorted case is a pure identity copy —
+    # a single fused branch with jnp.where(nondec, a, a[::-1]) would
+    # stream the flip AND the select even when nondec is known true
     return jax.lax.cond(
-        nondec | noninc,
-        lambda a: jnp.where(nondec, a, a[::-1]),
-        slow,
+        nondec,
+        lambda a: a,
+        lambda a: jax.lax.cond(noninc, lambda b: b[::-1], slow, a),
         u,
     )
 

@@ -422,7 +422,9 @@ def _bitonic_merge_halves(sA, sB, config, interpret):
     distances len/2 .. 1 — exactly the cross + local stages of the top
     merge round with all-ascending directions."""
     m = sA.shape[0]
-    chunk, _ = _resolved_chunks(config)
+    # merge-rounds-only network: keep the chip-measured merge chunk (the
+    # keys 2^17 optimum applies to full sorts, not bare cross+local rounds)
+    _, chunk = _resolved_chunks(config)
     np2 = bitonic._next_pow2(2 * m)
     pad = np2 - 2 * m
     parts = [sA]
@@ -469,8 +471,12 @@ def _sort_sharded_impl(keys, values, *, mesh, config, key_value, use_pallas,
         ok = jnp.ones((1,), jnp.int32)
 
         interpret = bool(config is not None and config.interpret)
-        chunk_k, chunk_c = _resolved_chunks(config)
-        chunk = chunk_c if key_value else chunk_k
+        # slot merges run at the carry chunk for BOTH kinds: every chip A/B
+        # that set the merge defaults (r5_merge_dmagate2, r5_prearranged_ab,
+        # r5b_prearranged_dmagate) measured merge_slots_* at C=2^16, and the
+        # keys 2^17 optimum was established for full sorts only — the local
+        # full sorts above already resolve per kind inside _local_sort.
+        _, chunk = _resolved_chunks(config)
 
         def merge_finish(ks2, vs2, recv_z, ok, prearranged=False):
             """Merge-rounds-only re-sort of slotted arrivals (slot i =

@@ -131,6 +131,20 @@ def marginal_time(fn, *args, k1: int = 1, k2: int = 4, iters: int = 5,
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
+def median_marginal_time(fn, *args, samples: int = 3, k1: int = 2,
+                         k2: int = 8, iters: int = 4) -> float:
+    """Median of `samples` independent marginal_time estimates.
+
+    The probe scripts' standard timing discipline: one marginal estimate
+    still carries the tunnel latency's residual drift (observed ±15%
+    run-to-run), so headline numbers take the median of several.
+    """
+    return float(np.median([
+        marginal_time(fn, *args, k1=k1, k2=k2, iters=iters)
+        for _ in range(samples)
+    ]))
+
+
 def measure_overhead() -> float:
     """Fixed dispatch+sync latency of a trivial program (seconds)."""
     x = jax.numpy.zeros((8,), jax.numpy.uint32)
