@@ -27,10 +27,13 @@ import math
 import os
 
 # ---- measured single-chip constants (v5e, docs/PERFORMANCE.md) ----------
-# round-5 refresh: keys at 14.04 ms / 325 stage-passes at 2^25 under pure
-# defaults (T layout + indep CE, chip_queue.log r5b_bench_defaults);
-# round 4 was 14.7 (dep CE), rounds 2-3 24.7 (pre-T)
-TAU_STAGE_S = 14.04e-3 / (325 * (1 << 25))  # s per element per stage-pass
+# round-5 session-2 refresh: keys at 13.58 ms at 2^25 under pure defaults
+# (T layout + indep CE + chunk 2^17, chip_queue.log r5e_bench_defaults);
+# stage-passes at chunk 2^17: phases 1..17 in-chunk (153) + 8 merge rounds
+# with cross+local = sum_{r=1..8}(r+17) = 172 -> 325 total (the chunk
+# growth trades 9 cross stage-passes for 9 in-chunk ones at 2^25).
+# History: round 5s1 14.04 (chunk 2^16), round 4 14.7 (dep CE), 2-3 24.7.
+TAU_STAGE_S = 13.58e-3 / (325 * (1 << 25))  # s per element per stage-pass
 HBM_STREAM_GBS = 342e9                     # measured sequential-grid copy
 # ---- public interconnect specs ------------------------------------------
 ICI_LINK_GBS = 45e9     # v5e ICI, per link per direction (2-D torus)
